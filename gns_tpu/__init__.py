@@ -1,0 +1,30 @@
+"""gns_tpu — a TPU-native Graph Neural Solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+PyTorch implementation (LeonOrou/OPF-Graph-Neural-Solver): the Donon et al.
+"Graph Neural Solver" for AC power flow, trained unsupervised against a
+physics (power-imbalance) loss and evaluated against a Newton-Raphson oracle.
+
+Design goals (see SURVEY.md at the repo root):
+  * static-shape, padded graph batches that jit-compile once per case bucket
+  * edge aggregation as MXU-friendly incidence matmuls / Pallas segment-sum
+  * K correction steps as a single `lax.scan` over stacked per-step weights
+  * data parallelism + graph(edge) partitioning over a `jax.sharding.Mesh`
+  * bit-for-tolerance activation parity with the reference (incl. its quirks,
+    gated behind `reference_parity=True`)
+
+Subpackages
+-----------
+utils     schema, config, case tables, grid preparation, augmentation
+ops       segment-sum / gather kernels (XLA reference + Pallas TPU)
+physics   AC line-flow residual ops (compensation, imbalance, line flow)
+models    LearningBlock MLP, the GNS model, torch checkpoint importer
+parallel  mesh construction, data-parallel and edge-partitioned execution
+train     jitted training loop, optimizers, checkpointing, metrics
+eval      Newton-Raphson oracle and the evaluation/metrics harness
+"""
+
+__version__ = "0.1.0"
+
+from gns_tpu.utils.schema import BUS, LINE, GEN, get_BLG  # noqa: F401
+from gns_tpu.utils.config import GNSConfig  # noqa: F401

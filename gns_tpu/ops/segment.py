@@ -1,0 +1,93 @@
+"""Edge aggregation primitives: segment-sum (scatter-add) and gather.
+
+The reference's only native-code dependency is `torch_scatter.scatter_add`
+(reference: GNS/main.py:2 and ~14 call sites, SURVEY.md §2.5). On TPU the
+same contraction has three natural lowerings, all provided here:
+
+  * 'scatter'  — `jax.ops.segment_sum`: XLA scatter-add. Exact reference
+                 semantics; best on CPU and the correctness oracle for the
+                 other paths.
+  * 'onehot'   — one-hot incidence matmul: `A[n,e] @ data[e,d]` on the MXU.
+                 Grid topologies here are small (E<=411) and fixed per case,
+                 so the one-hot matrix folds into a single fused matmul per
+                 step — the idiomatic dense-hardware lowering for sparse GNN
+                 aggregation on TPUs.
+  * 'pallas'   — hand-written Pallas TPU kernel (gns_tpu.ops.pallas_segment)
+                 for large batched aggregations.
+
+All paths are differentiable (the VJP of segment-sum is gather and vice
+versa; XLA derives it for 'scatter'/'onehot', the Pallas path defines a
+custom VJP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def incidence_matrix(segment_ids, num_segments: int, dtype=jnp.float32):
+    """Dense one-hot incidence matrix A with A[n, e] = 1 iff segment_ids[e]==n.
+
+    Out-of-range ids (used for masked/padded edges) produce all-zero columns,
+    matching segment_sum's drop semantics.
+    """
+    return jax.nn.one_hot(segment_ids, num_segments, dtype=dtype, axis=0)
+
+
+def _onehot_segment_sum(data, segment_ids, num_segments):
+    a = incidence_matrix(segment_ids, num_segments, dtype=data.dtype)
+    squeeze = data.ndim == 1
+    if squeeze:
+        data = data[:, None]
+    out = jnp.matmul(a, data, precision=jax.lax.Precision.HIGHEST)
+    return out[:, 0] if squeeze else out
+
+
+def segment_sum(
+    data,
+    segment_ids,
+    num_segments: int,
+    method: str = "auto",
+):
+    """Sum `data` rows into `num_segments` buckets keyed by `segment_ids`.
+
+    data: (E,) or (E, D); segment_ids: (E,) int. Returns (num_segments,) or
+    (num_segments, D). Drop-in for torch_scatter.scatter_add with a
+    zero-initialized `out` (reference: GNS/main.py:42 et al.).
+    """
+    if method == "auto":
+        method = "onehot" if jax.default_backend() == "tpu" else "scatter"
+    if method == "scatter":
+        return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    if method == "onehot":
+        return _onehot_segment_sum(data, segment_ids, num_segments)
+    if method == "pallas":
+        from gns_tpu.ops.pallas_segment import pallas_segment_sum
+
+        return pallas_segment_sum(data, segment_ids, num_segments)
+    raise ValueError(f"unknown segment_sum method {method!r}")
+
+
+def gather(data, indices):
+    """Row gather `data[indices]` (the transpose of segment_sum).
+
+    Out-of-range indices clamp (jnp.take default mode under jit), which is
+    only reachable for masked padding whose contribution is zeroed anyway.
+    """
+    return jnp.take(data, indices, axis=0)
+
+
+def broadcast_col0_segment_sum(data_col, segment_ids, num_segments, latent_dim, method="auto"):
+    """Reference quirk Q1: scatter an (E, 1) message into an (N, latent) buffer.
+
+    torch_scatter broadcasts the index to the *source's* shape, so only
+    latent column 0 is ever written; columns 1.. stay zero
+    (reference: GNS/main.py:169-170, verified in SURVEY.md §2.4-Q1).
+    """
+    col0 = segment_sum(data_col[:, 0], segment_ids, num_segments, method=method)
+    out = jnp.zeros((num_segments, latent_dim), dtype=data_col.dtype)
+    return out.at[:, 0].set(col0)

@@ -1,0 +1,129 @@
+"""Offline dataset generation: perturbed copies of a base case.
+
+Reproduces the reference's augmentation semantics
+(reference: GNS/augment_grids.py:25-54, SURVEY.md C9) with one deliberate
+fix: the reference uses unseeded numpy RNG (not reproducible); here every
+dataset is generated from an explicit seed.
+
+Per augmented case (all draws elementwise U[a,b]):
+  * branch r, x, b           scaled by U[0.9, 1.1]
+  * branch tau               overwritten with U[0.8, 1.2]   (absolute)
+  * branch theta_shift       overwritten with U[-0.2, 0.2]  (absolute, deg)
+  * gen    vg                scaled by U[0.95, 1.05]
+  * gen    Pg ~ U(Pmin + 0.25*(Pmax-Pmin), 0.75*(Pmax-Pmin))
+           -- note the asymmetric bounds: the reference adds Pmin only to the
+              lower bound (augment_grids.py:45-47); replicated verbatim.
+  * bus    Pd scaled by U[0.5, 1.5], then rescaled so sum(Pd) == sum(Pg)
+  * bus    Qd scaled by U[0.5, 1.5]
+
+Index 0 of a generated dataset is the unaugmented base case
+(augment_grids.py:26-27), indices 1..n are perturbed.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from gns_tpu.utils import cases as case_tables
+from gns_tpu.utils.prepare import DEFAULT_DATA_DIR
+
+RANGES = {
+    "r": (0.9, 1.1),
+    "x": (0.9, 1.1),
+    "b": (0.9, 1.1),
+    "tau": (0.8, 1.2),
+    "theta_shift": (-0.2, 0.2),
+    "vg": (0.95, 1.05),
+    "pg": (0.25, 0.75),
+    "pd": (0.5, 1.5),
+    "qd": (0.5, 1.5),
+}
+
+
+def augment_case(case: Dict, rng: np.random.Generator) -> Dict:
+    """Return one perturbed copy of `case` (reference: augment_grids.py:28-54)."""
+    c = copy.deepcopy(case)
+    bus = np.asarray(c["bus"], dtype=np.float64)
+    branch = np.asarray(c["branch"], dtype=np.float64)
+    gen = np.asarray(c["gen"], dtype=np.float64)
+
+    nb, ne, ng = bus.shape[0], branch.shape[0], gen.shape[0]
+    branch[:, 2] *= rng.uniform(*RANGES["r"], size=ne)
+    branch[:, 3] *= rng.uniform(*RANGES["x"], size=ne)
+    branch[:, 4] *= rng.uniform(*RANGES["b"], size=ne)
+    branch[:, 8] = rng.uniform(*RANGES["tau"], size=ne)
+    branch[:, 9] = rng.uniform(*RANGES["theta_shift"], size=ne)
+    gen[:, 5] = gen[:, 5] * rng.uniform(*RANGES["vg"], size=ng)
+    span = gen[:, 8] - gen[:, 9]  # Pmax - Pmin
+    lo, hi = RANGES["pg"]
+    gen[:, 1] = rng.uniform(gen[:, 9] + lo * span, hi * span, size=ng)
+    bus[:, 2] *= rng.uniform(*RANGES["pd"], size=nb)
+    total_pd = bus[:, 2].sum()
+    if total_pd != 0:
+        bus[:, 2] *= gen[:, 1].sum() / total_pd  # rebalance: sum Pd == sum Pg
+    bus[:, 3] *= rng.uniform(*RANGES["qd"], size=nb)
+
+    c["bus"], c["branch"], c["gen"] = bus, branch, gen
+    return c
+
+
+def generate_cases(
+    case_nr: int, num_augmentations: int, seed: int = 0
+) -> Iterator[Dict]:
+    """Yield the base case (index 0) then `num_augmentations` perturbed cases."""
+    base = case_tables.load_case(case_nr)
+    yield copy.deepcopy(base)
+    rng = np.random.default_rng(seed)
+    for _ in range(num_augmentations):
+        yield augment_case(base, rng)
+
+
+def generate_dataset(
+    case_nr: int,
+    num_augmentations: int = 10000,
+    seed: int = 0,
+    data_dir: Optional[str] = None,
+    write_pickles: bool = True,
+    write_npz: bool = True,
+) -> str:
+    """Write a dataset to data/case{nr}/.
+
+    Pickles use the reference's file layout
+    (`augmented_case{nr}_{i}.pkl`, augment_grids.py:57-61) for drop-in
+    compatibility. An additional single-file `.npz` cache of the *prepared*
+    float32 tensors is written so training startup is one mmap-able read
+    instead of 10k pickle loads (the reference's hot startup path,
+    SURVEY.md §3.1).
+    """
+    from gns_tpu.utils.prepare import prepare_case  # local import, no cycle
+
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    out_dir = os.path.join(data_dir, f"case{case_nr}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    buses_all, lines_all, gens_all = [], [], []
+    for i, case in enumerate(generate_cases(case_nr, num_augmentations, seed)):
+        if write_pickles:
+            with open(
+                os.path.join(out_dir, f"augmented_case{case_nr}_{i}.pkl"), "wb"
+            ) as f:
+                pickle.dump(case, f)
+        if write_npz:
+            b, l, g = prepare_case(case)
+            buses_all.append(b)
+            lines_all.append(l)
+            gens_all.append(g)
+    if write_npz:
+        np.savez_compressed(
+            os.path.join(out_dir, f"prepared_case{case_nr}.npz"),
+            buses=np.stack(buses_all),
+            lines=np.stack(lines_all),
+            generators=np.stack(gens_all),
+            seed=np.int64(seed),
+        )
+    return out_dir

@@ -1,0 +1,95 @@
+"""Configuration layer.
+
+The reference has no config system — every knob is an edit-in-place constant
+(reference: GNS/main.py:210-214,235-254; GNS/evaluate.py:21-22,61-63). Here
+all of it is a frozen dataclass with per-case presets, plus the
+`reference_parity` flag that gates the reference's load-bearing quirks
+(SURVEY.md §2.4, Q1-Q4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GNSConfig:
+    """Hyperparameters of the GNS model + training driver.
+
+    Defaults follow the reference's stated best configuration
+    (reference: README.md:16 — K=4, latent 20, hidden 10, multiple_phi, gamma .9).
+    """
+
+    # --- model (reference: GNS/main.py:108 GNS.__init__ defaults) ---
+    latent_dim: int = 20
+    hidden_dim: int = 10
+    K: int = 4
+    gamma: float = 0.9
+    multiple_phi: bool = True
+    leaky_relu_slope: float = 0.01  # torch nn.LeakyReLU default
+
+    # When True, reproduce the reference's exact numerical behavior,
+    # including quirks Q1 (single-phi writes only latent column 0),
+    # Q2 (per-line arrays indexed by bus ids) and Q4 (asymmetric reactive
+    # message). When False, use the paper-correct physics equations.
+    reference_parity: bool = True
+
+    # --- training (reference: GNS/main.py:235-254) ---
+    case_nr: int = 14
+    batch_size: int = 128
+    nr_samples: int = 256
+    epochs: int = 101
+    optimizer: str = "adam"  # "adam" | "adagrad"
+    learning_rate: Optional[float] = None  # None -> per-optimizer default
+    early_stop_patience: int = 2  # non-improving epochs tolerated (main.py:296-304)
+    seed: int = 0
+
+    # --- execution ---
+    # Number of grids evaluated per jitted device step (vmap width).
+    # The reference runs grids one at a time (main.py:279-283); on TPU the
+    # whole batch runs as one program.
+    dtype: str = "float32"
+
+    @property
+    def lr(self) -> float:
+        if self.learning_rate is not None:
+            return self.learning_rate
+        # reference: GNS/main.py:236-243 — Adam 1e-3, Adagrad 1e-2.
+        return 0.01 if self.optimizer == "adagrad" else 0.001
+
+    @property
+    def phi_in_dim(self) -> int:
+        return 5 + self.latent_dim
+
+    @property
+    def update_in_dim(self) -> int:
+        return 4 + 2 * self.latent_dim
+
+    def replace(self, **kw) -> "GNSConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-case presets mirroring BASELINE.json's five benchmark configs.
+PRESETS = {
+    # case14 CPU-reference config (PR1): reference best hyperparameters.
+    "case14": GNSConfig(case_nr=14),
+    # case9/case30 augmented grids, same K=4 model.
+    "case9": GNSConfig(case_nr=9),
+    "case30": GNSConfig(case_nr=30),
+    # case118, larger batches.
+    "case118": GNSConfig(case_nr=118, batch_size=512, nr_samples=2048),
+    # case300 deeper variant for single-host multi-chip edge partition.
+    "case300": GNSConfig(
+        case_nr=300, K=8, latent_dim=40, batch_size=512, nr_samples=2048
+    ),
+    # eval checkpoint config of the reference (GNS/evaluate.py:61-63).
+    "eval_reference": GNSConfig(K=6, latent_dim=20, hidden_dim=10, multiple_phi=False),
+}
+
+
+def preset(name: str) -> GNSConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
