@@ -1,0 +1,63 @@
+"""Device-mesh construction.
+
+The reference has no parallelism at all (SURVEY.md §2.6); this layer is the
+framework's distributed-communication backend. Instead of hand-written
+transports (NCCL/MPI), the mesh + named shardings express *where* data
+lives and XLA inserts the ICI/DCN collectives (psum, all-gather,
+all-to-all) during SPMD partitioning — the standard TPU recipe.
+
+Axes:
+  dp — data parallel: GridBatch batch dimension, gradient all-reduce.
+  gp — graph (edge) partition: the line/edge dimension of big grids; the
+       GNN analog of sequence/context parallelism. Edge aggregation
+       becomes a sharded contraction with an automatic all-reduce of the
+       per-bus partial sums.
+
+For multi-host runs, call `initialize_distributed()` first (wraps
+jax.distributed.initialize) and build a hybrid mesh whose outer axis maps
+to DCN (hosts) and inner axes to ICI, via jax.make_mesh's device ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    gp: int = 1,
+    devices: Optional[Sequence] = None,
+    axis_names: Tuple[str, str] = ("dp", "gp"),
+) -> Mesh:
+    """Build a (dp, gp) mesh over the available devices.
+
+    dp defaults to n_devices // gp. Uses jax.make_mesh when available so
+    device order respects the physical ICI topology.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        if n % gp:
+            raise ValueError(f"{n} devices not divisible by gp={gp}")
+        dp = n // gp
+    if dp * gp != n:
+        raise ValueError(f"mesh {dp}x{gp} != {n} devices")
+    # NOTE: jax.make_mesh defaults to Explicit axis types on this JAX
+    # version, which breaks implicit sharding propagation through jit;
+    # the plain Mesh constructor keeps the classic Auto axes.
+    return Mesh(np.array(devices).reshape(dp, gp), axis_names)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (DCN). No-op when single-process."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        # Already initialized or single-host run without coordinator.
+        pass

@@ -1,0 +1,141 @@
+"""Training driver: one jitted, vmapped, (optionally) sharded update step.
+
+The reference trains with a triple epoch->batch->sample loop that runs 128
+sequential forwards per batch and one backward through all of them
+(reference: GNS/main.py:274-291). Here the whole batch is a single compiled
+program: `vmap` over grids, mean loss, `jax.grad`, optax update — dispatched
+once per batch. Optimizers, early stopping and best-checkpoint semantics
+match the reference driver (main.py:235-309).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gns_tpu.models.gns import gns_forward_batch, init_gns_params
+from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import GridBatch
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: GNSConfig) -> optax.GradientTransformation:
+    # reference: GNS/main.py:238-243 — Adam lr 1e-3 / Adagrad lr 1e-2.
+    if cfg.optimizer == "adagrad":
+        return optax.adagrad(cfg.lr)
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def init_train_state(key, cfg: GNSConfig, optimizer=None) -> TrainState:
+    params = init_gns_params(key, cfg)
+    optimizer = optimizer or make_optimizer(cfg)
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: GNSConfig,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    method: str = "auto",
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted update step: (TrainState, GridBatch) -> (TrainState, metrics).
+
+    metrics = {loss, last_loss}: mean discounted training loss and mean
+    undiscounted final-step residual (the reference's early-stop signal,
+    main.py:283-285).
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def loss_fn(params, batch: GridBatch):
+        out = gns_forward_batch(params, cfg, batch, method=method)
+        return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
+
+    def step_fn(state: TrainState, batch: GridBatch):
+        (loss, last_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "last_loss": last_loss},
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: GNSConfig, method: str = "auto") -> Callable:
+    """Jitted inference: (params, GridBatch) -> batched GNSOutput."""
+
+    def fn(params, batch: GridBatch):
+        return gns_forward_batch(params, cfg, batch, method=method)
+
+    return jax.jit(fn)
+
+
+def train(
+    cfg: GNSConfig,
+    data: GridBatch,
+    key=None,
+    method: str = "auto",
+    log_fn: Optional[Callable] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    state: Optional[TrainState] = None,
+):
+    """Full training run with reference semantics.
+
+    Epochs over `data` in batch_size chunks; early stop after
+    `early_stop_patience`+1 consecutive non-improving epochs
+    (reference: GNS/main.py:296-304); `checkpoint_fn(state, epoch, loss)`
+    called whenever the best loss improves (main.py:306-309).
+    Returns (best_state, history).
+    """
+    key = key if key is not None else jax.random.key(cfg.seed)
+    if state is None:
+        state = init_train_state(key, cfg)
+    step = make_train_step(cfg, method=method)
+
+    n = data.batch_size
+    bs = min(cfg.batch_size, n)
+    n_batches = n // bs
+
+    best_loss = float("inf")
+    best_state = state
+    increase_counter = 0
+    history = []
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        epoch_last_losses = []
+        for b in range(n_batches):
+            batch = data[b * bs : (b + 1) * bs]
+            state, metrics = step(state, batch)
+            epoch_last_losses.append(metrics["last_loss"])
+        epoch_final_loss = float(jnp.mean(jnp.stack(epoch_last_losses)))
+        dt = time.perf_counter() - t0
+        history.append({"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt})
+        if log_fn:
+            log_fn(history[-1])
+
+        # reference main.py:296-304: stop after >patience non-improving epochs
+        if epoch_final_loss >= best_loss:
+            increase_counter += 1
+            if increase_counter > cfg.early_stop_patience:
+                break
+        else:
+            best_loss = epoch_final_loss
+            best_state = state
+            increase_counter = 0
+            if checkpoint_fn:
+                checkpoint_fn(best_state, epoch, best_loss)
+    return best_state, history

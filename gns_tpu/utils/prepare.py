@@ -183,6 +183,41 @@ def load_all_grids(
     return _stack_to_batch(triples)
 
 
+def load_prepared(
+    case_nr: int,
+    nr_samples: Optional[int] = None,
+    test_set: bool = False,
+    data_dir: Optional[str] = None,
+) -> GridBatch:
+    """Fast path: load the single-file prepared .npz cache written by
+    gns_tpu.utils.augment.generate_dataset (one read instead of 10k pickle
+    loads — the reference's startup hot spot, SURVEY.md §3.1).
+
+    Index 0 is the unaugmented base case; training slices start at 1 like
+    the reference loader (GNS/utils.py:60), test slices take the tail.
+    """
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    path = os.path.join(data_dir, f"case{case_nr}", f"prepared_case{case_nr}.npz")
+    z = np.load(path)
+    buses, lines, gens = z["buses"], z["lines"], z["generators"]
+    total = buses.shape[0]
+    if nr_samples is None:
+        nr_samples = total - 1
+    sl = slice(total - nr_samples, total) if test_set else slice(1, 1 + nr_samples)
+    buses, lines, gens = buses[sl], lines[sl], gens[sl]
+    s, n = buses.shape[0], buses.shape[1]
+    e, g = lines.shape[1], gens.shape[1]
+    return GridBatch(
+        buses=buses,
+        lines=lines,
+        generators=gens,
+        bus_mask=np.ones((s, n), np.float32),
+        line_mask=np.ones((s, e), np.float32),
+        gen_mask=np.ones((s, g), np.float32),
+        n_bus=np.full((s,), n, np.int32),
+    )
+
+
 def batch_from_cases(case_dicts, pad_sizes=None) -> GridBatch:
     """Build a (possibly mixed-size, padded) batch straight from case dicts."""
     return _stack_to_batch([prepare_case(c) for c in case_dicts], pad_sizes)

@@ -1,0 +1,78 @@
+"""Training-layer tests: the jitted vmapped step learns, checkpoints
+round-trip (Orbax and torch interop), early stop fires."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gns_tpu.train.checkpoint import (
+    export_torch,
+    import_torch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from gns_tpu.train.trainer import init_train_state, make_train_step, train
+from gns_tpu.utils.augment import generate_cases
+from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import batch_from_cases
+
+CFG = GNSConfig(
+    K=2, latent_dim=8, hidden_dim=8, multiple_phi=True,
+    batch_size=8, nr_samples=16, epochs=8, seed=0,
+)
+
+
+@pytest.fixture(scope="module")
+def data14():
+    cases = list(generate_cases(14, 16, seed=3))[1:]
+    return batch_from_cases(cases)
+
+
+def test_loss_decreases(data14):
+    state = init_train_state(jax.random.key(0), CFG)
+    step = make_train_step(CFG, method="scatter", donate=False)
+    batch = data14[:8]
+    _, m0 = step(state, batch)
+    for _ in range(60):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"]) * 0.75, (
+        f"loss did not decrease: {float(m0['loss'])} -> {float(m['loss'])}"
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_train_driver_early_stop(data14):
+    cfg = CFG.replace(epochs=50, early_stop_patience=1, learning_rate=0.0)
+    # lr=0 -> loss constant -> early stop must fire after patience+1 epochs.
+    best, history = train(cfg, data14, method="scatter")
+    assert len(history) <= 4
+
+
+def test_train_driver_improves(data14):
+    cfg = CFG.replace(epochs=5)
+    best, history = train(cfg, data14, method="scatter")
+    assert history[-1]["final_loss"] < history[0]["final_loss"]
+
+
+def test_checkpoint_roundtrip(tmp_path, data14):
+    state = init_train_state(jax.random.key(1), CFG)
+    step = make_train_step(CFG, method="scatter", donate=False)
+    state, _ = step(state, data14[:8])
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, CFG)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_interop_roundtrip(tmp_path):
+    state = init_train_state(jax.random.key(2), CFG)
+    path = str(tmp_path / "model.pth")
+    export_torch(path, state, CFG)
+    back = import_torch(path, CFG)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(back.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
