@@ -1,0 +1,78 @@
+"""Evaluation CLI: `python -m gns_tpu.eval` (reference: GNS/evaluate.py).
+
+Evaluates a checkpoint against the Newton-Raphson oracle on the SAME test
+grids (fixing reference quirk Q6) and prints the reference's metric table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser(description="Evaluate GNS vs Newton-Raphson")
+    p.add_argument("--case", type=int, default=14)
+    p.add_argument("--K", type=int, default=4)
+    p.add_argument("--latent", type=int, default=20)
+    p.add_argument("--hidden", type=int, default=10)
+    p.add_argument("--multiple-phi", action="store_true", default=True)
+    p.add_argument("--single-phi", dest="multiple_phi", action="store_false")
+    p.add_argument("--samples", type=int, default=128)
+    p.add_argument("--checkpoint", default=None,
+                   help="Orbax checkpoint dir or reference .pth file; random init if omitted")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--total-grids", type=int, default=10001)
+    p.add_argument("--from-base-case", action="store_true",
+                   help="generate eval grids in-memory from the base case instead of pickles")
+    p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--method", default="auto")
+    p.add_argument("--plot", default="images/per_bus_errors.png")
+    p.add_argument("--json-out", default=None)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gns_tpu.eval.harness import evaluate, load_eval_cases
+    from gns_tpu.models.gns import init_gns_params
+    from gns_tpu.utils.config import GNSConfig
+
+    cfg = GNSConfig(
+        case_nr=args.case, K=args.K, latent_dim=args.latent,
+        hidden_dim=args.hidden, multiple_phi=args.multiple_phi,
+    )
+
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        from gns_tpu.train.checkpoint import import_torch
+
+        params = import_torch(args.checkpoint, cfg).params
+    elif args.checkpoint:
+        from gns_tpu.train.checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint, cfg).params
+    else:
+        print("WARNING: no checkpoint given — evaluating a random init")
+        params = init_gns_params(jax.random.key(0), cfg)
+
+    if args.from_base_case:
+        from gns_tpu.utils.augment import generate_cases
+
+        cases = list(generate_cases(args.case, args.samples - 1, seed=args.seed))
+    else:
+        cases = load_eval_cases(
+            args.case, args.samples, data_dir=args.data_dir,
+            total_grids=args.total_grids,
+        )
+
+    m = evaluate(params, cfg, cases, method=args.method, plot_path=args.plot)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(m, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

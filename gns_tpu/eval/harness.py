@@ -1,0 +1,221 @@
+"""Evaluation harness: GNS vs the Newton-Raphson oracle.
+
+Re-creates the reference's evaluation pipeline (reference: GNS/evaluate.py)
+with its metric definitions kept intact:
+
+  * per-grid wall time, GNS minus NR (evaluate.py:89-92)
+  * |theta_GNS - theta_NR| mean/std in radians (NR degrees -> radians,
+    evaluate.py:98-104)
+  * |v_GNS - v_NR| mean/std in p.u. (evaluate.py:108-111)
+  * final physics residual (last_loss) mean/std (evaluate.py:85,146)
+  * active-line-flow %-difference: sorted, lowest 50% kept, then
+    20th/50th/80th percentiles (evaluate.py:121-129) — convention preserved
+  * per-bus v/theta error mean+-std errorbar plot (evaluate.py:151-178)
+  * additionally: v/theta MSE (the BASELINE.json accuracy metric)
+
+One deliberate fix (documented deviation): the reference evaluates GNS on
+training grids 0..n-1 while the oracle solves the last n grids — quirk Q6,
+evaluate.py:76 — so the two methods never see the same grid. Here both run
+on the *same* test grids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from gns_tpu.eval.newton_raphson import newton_raphson_pf
+from gns_tpu.models.gns import gns_forward
+from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import pickle_path, prepare_case
+from gns_tpu.utils.schema import LINE
+
+
+def _np_active_line_flow(v, theta, x, src, dst):
+    """numpy line flow on 1-based src/dst (reference evaluate.py:15-18)."""
+    src = src.astype(int) - 1
+    dst = dst.astype(int) - 1
+    return (1.0 / x) * v[src] * v[dst] * np.sin(theta[src] - theta[dst])
+
+
+def run_nr_oracle(cases: List[Dict]):
+    """Solve each case with NR; returns dict of stacked results + times."""
+    times, v_out, th_out, flows, ok = [], [], [], [], []
+    for case in cases:
+        t0 = time.perf_counter()
+        res = newton_raphson_pf(case)
+        times.append(time.perf_counter() - t0)
+        v_out.append(res.vm)
+        th_out.append(res.va_deg)
+        br = np.asarray(case["branch"], dtype=np.float64)
+        flows.append(
+            _np_active_line_flow(
+                res.vm, np.deg2rad(res.va_deg), br[:, 3], br[:, 0], br[:, 1]
+            )
+        )
+        ok.append(res.success)
+    return {
+        "time": np.array(times, np.float32),
+        "v": np.stack(v_out).astype(np.float32),
+        "theta_deg": np.stack(th_out).astype(np.float32),
+        "line_flow": np.stack(flows).astype(np.float32),
+        "converged": np.array(ok),
+    }
+
+
+def run_gns(params, cfg: GNSConfig, cases: List[Dict], method: str = "auto"):
+    """Run the GNS forward on each case, timing per-grid jitted latency."""
+    fwd = jax.jit(
+        lambda p, b, l, g: gns_forward(p, cfg, b, l, g, method=method)
+    )
+    times, v_out, th_out, losses, flows = [], [], [], [], []
+    for case in cases:
+        buses, lines, gens = prepare_case(case)
+        out = fwd(params, buses, lines, gens)  # warm cache for this shape
+        jax.block_until_ready(out.v)
+        t0 = time.perf_counter()
+        out = fwd(params, buses, lines, gens)
+        jax.block_until_ready(out.v)
+        times.append(time.perf_counter() - t0)
+        v = np.asarray(out.v)
+        th = np.asarray(out.theta)
+        v_out.append(v)
+        th_out.append(th)
+        losses.append(float(out.last_loss))
+        flows.append(
+            _np_active_line_flow(
+                v, th, np.asarray(lines[:, LINE["x"]]),
+                np.asarray(lines[:, 0]), np.asarray(lines[:, 1]),
+            )
+        )
+    return {
+        "time": np.array(times, np.float32),
+        "v": np.stack(v_out),
+        "theta": np.stack(th_out),
+        "last_loss": np.array(losses, np.float32),
+        "line_flow": np.stack(flows).astype(np.float32),
+    }
+
+
+def compute_metrics(nr: Dict, gns: Dict) -> Dict:
+    """Reference metric definitions (evaluate.py:89-148) + MSEs."""
+    time_diff = gns["time"] - nr["time"]
+    nr_theta = np.deg2rad(nr["theta_deg"])
+    theta_diff = np.abs(gns["theta"] - nr_theta)
+    v_diff = np.abs(gns["v"] - nr["v"])
+
+    alf_diff = nr["line_flow"] - gns["line_flow"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = np.abs(alf_diff / nr["line_flow"]) * 100.0
+    # reference convention: sort flat, keep the lowest 50% (evaluate.py:126)
+    pct_sorted = np.sort(pct, axis=None)[: pct.size // 2]
+
+    return {
+        "time_diff_mean": float(time_diff.mean()),
+        "time_diff_std": float(time_diff.std()),
+        "theta_abs_diff_mean": float(theta_diff.mean()),
+        "theta_abs_diff_std": float(theta_diff.std()),
+        "v_abs_diff_mean": float(v_diff.mean()),
+        "v_abs_diff_std": float(v_diff.std()),
+        "v_mse": float((v_diff**2).mean()),
+        "theta_mse": float((theta_diff**2).mean()),
+        "last_loss_mean": float(gns["last_loss"].mean()),
+        "last_loss_std": float(gns["last_loss"].std()),
+        "alf_pct_p20": float(np.percentile(pct_sorted, 20)),
+        "alf_pct_median": float(np.median(pct_sorted)),
+        "alf_pct_p80": float(np.percentile(pct_sorted, 80)),
+        "nr_converged_frac": float(np.asarray(nr["converged"]).mean()),
+    }
+
+
+def plot_per_bus_errors(nr, gns, cfg: GNSConfig, out_path: str) -> str:
+    """Per-bus mean+-std errorbar plot (reference evaluate.py:151-178)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    nr_theta = np.deg2rad(nr["theta_deg"])
+    v_err = nr["v"] - gns["v"]
+    th_err = np.abs(gns["theta"] - nr_theta)
+    n = v_err.shape[1]
+    xs = np.arange(1, n + 1)
+
+    fig, ax = plt.subplots()
+    ax.errorbar(xs, v_err.mean(0), v_err.std(0), color="tab:blue",
+                marker="o", linestyle="None", label="V", capsize=5, capthick=1)
+    ax.errorbar(xs, th_err.mean(0), th_err.std(0), color="tab:orange",
+                marker="o", linestyle="None", label="theta", capsize=5, capthick=1)
+    ax.set_xlabel("Bus number")
+    ax.set_ylabel("Error of GNS compared to NR")
+    ax.set_title(
+        f"V and Theta error with K={cfg.K}, L={cfg.latent_dim}, "
+        f"Distinct Phi={cfg.multiple_phi}"
+    )
+    ax.grid(True)
+    fig.legend()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def load_eval_cases(
+    case_nr: int,
+    nr_eval_samples: int,
+    data_dir: Optional[str] = None,
+    total_grids: int = 10001,
+) -> List[Dict]:
+    """Last nr_eval_samples pickles — the oracle's range (evaluate.py:31)."""
+    out = []
+    for i in range(total_grids - nr_eval_samples, total_grids):
+        with open(pickle_path(case_nr, i, data_dir), "rb") as f:
+            out.append(pickle.load(f))
+    return out
+
+
+def evaluate(
+    params,
+    cfg: GNSConfig,
+    cases: List[Dict],
+    method: str = "auto",
+    plot_path: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict:
+    """Full evaluation: NR + GNS on the SAME grids (Q6 fixed), metrics."""
+    nr = run_nr_oracle(cases)
+    gns = run_gns(params, cfg, cases, method=method)
+    m = compute_metrics(nr, gns)
+    if plot_path:
+        m["plot"] = plot_per_bus_errors(nr, gns, cfg, plot_path)
+    if verbose:
+        print(
+            f"Time difference GNS and NR: Mean: {m['time_diff_mean']:.5f}, "
+            f"Std: {m['time_diff_std']:.5f}"
+        )
+        print(
+            f"Theta difference GNS and NR: Mean: {m['theta_abs_diff_mean']:.5f}, "
+            f"Std: {m['theta_abs_diff_std']:.5f}"
+        )
+        print(
+            f"V difference GNS and NR: Mean: {m['v_abs_diff_mean']:.5f}, "
+            f"Std: {m['v_abs_diff_std']:.5f}"
+        )
+        print(
+            f"GNS last loss: Mean: {m['last_loss_mean']:.5f}, "
+            f"Std: {m['last_loss_std']:.5f}"
+        )
+        print(
+            "Active line flow percentage difference GNS and NR: "
+            f"20th percentile: {m['alf_pct_p20']:.5f}, "
+            f"Median: {m['alf_pct_median']:.5f}, "
+            f"80th percentile: {m['alf_pct_p80']:.5f}"
+        )
+        print(f"v MSE: {m['v_mse']:.6g}, theta MSE: {m['theta_mse']:.6g}")
+    return m

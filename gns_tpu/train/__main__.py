@@ -1,0 +1,86 @@
+"""Training CLI: `python -m gns_tpu.train` (reference: GNS/main.py main()).
+
+Unlike the reference (edit-in-place constants), everything is a flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train a GNS model")
+    p.add_argument("--case", type=int, default=14)
+    p.add_argument("--K", type=int, default=4)
+    p.add_argument("--latent", type=int, default=20)
+    p.add_argument("--hidden", type=int, default=10)
+    p.add_argument("--gamma", type=float, default=0.9)
+    p.add_argument("--multiple-phi", action="store_true", default=True)
+    p.add_argument("--single-phi", dest="multiple_phi", action="store_false")
+    p.add_argument("--epochs", type=int, default=101)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--nr-samples", type=int, default=256)
+    p.add_argument("--optimizer", choices=["adam", "adagrad"], default="adam")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--method", default="auto", choices=["auto", "scatter", "onehot", "pallas"])
+    p.add_argument("--paper-physics", action="store_true",
+                   help="use paper-correct physics instead of reference parity")
+    p.add_argument("--out-dir", default="models")
+    p.add_argument("--runs-dir", default="runs")
+    p.add_argument("--export-torch", action="store_true",
+                   help="also write a reference-layout .pth next to the Orbax checkpoint")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gns_tpu.train.checkpoint import checkpoint_name, export_torch, save_checkpoint
+    from gns_tpu.train.metrics import MetricsLogger
+    from gns_tpu.train.trainer import train
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import load_all_grids, load_prepared
+
+    cfg = GNSConfig(
+        case_nr=args.case, K=args.K, latent_dim=args.latent,
+        hidden_dim=args.hidden, gamma=args.gamma, multiple_phi=args.multiple_phi,
+        epochs=args.epochs, batch_size=args.batch_size, nr_samples=args.nr_samples,
+        optimizer=args.optimizer, learning_rate=args.lr, seed=args.seed,
+        reference_parity=not args.paper_physics,
+    )
+
+    try:
+        data = load_prepared(args.case, cfg.nr_samples, data_dir=args.data_dir)
+    except FileNotFoundError:
+        data = load_all_grids(args.case, cfg.nr_samples, data_dir=args.data_dir)
+    print(f"loaded {data.batch_size} case{args.case} grids; devices: {jax.devices()}")
+
+    name = checkpoint_name(cfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def ckpt_fn(state, epoch, loss):
+        save_checkpoint(os.path.join(args.out_dir, name), state)
+        if args.export_torch:
+            export_torch(os.path.join(args.out_dir, name + ".pth"), state, cfg)
+
+    with MetricsLogger(args.runs_dir, run_name=name, config=vars(args)) as logger:
+        def log_fn(row):
+            logger.log(row)
+            print(
+                f"Epoch: {row['epoch']}, Final Loss: {row['final_loss']:.6f}, "
+                f"{row['sec']:.2f}s"
+            )
+
+        best, history = train(
+            cfg, data, method=args.method, log_fn=log_fn, checkpoint_fn=ckpt_fn
+        )
+    print(f"done; best checkpoint in {args.out_dir}/{name}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,17 +35,24 @@ DEFAULT_DATA_DIR = os.path.join(
 )
 
 
-def prepare_case(case: dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def prepare_case(
+    case: dict, paper_shunts: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Convert one pypower-style case dict into (buses, lines, generators).
 
     Matches reference GNS/utils.py:17-41 numerically (float32 end to end).
+    `paper_shunts=True` (the reference behavior) overwrites every bus's
+    Gs/Bs with the paper defaults +1/-1 before normalization; False keeps
+    the case's true shunts, which makes the paper-correct physics residual
+    vanish at the Newton-Raphson solution (used by consistency tests).
     """
     base_mva = np.float32(case["baseMVA"])
 
     bus = np.asarray(case["bus"], dtype=np.float32)
     buses = bus[:, :6].copy()
-    buses[:, 4] = 1.0  # Gs: paper default shunt conductance (utils.py:25)
-    buses[:, 5] = -1.0  # Bs: paper default shunt susceptance (utils.py:26)
+    if paper_shunts:
+        buses[:, 4] = 1.0  # Gs: paper default shunt conductance (utils.py:25)
+        buses[:, 5] = -1.0  # Bs: paper default shunt susceptance (utils.py:26)
     buses[:, 2:6] /= base_mva
 
     br = np.asarray(case["branch"], dtype=np.float32)

@@ -1,0 +1,102 @@
+"""Eval-layer tests: NR oracle correctness, physics/oracle consistency,
+and the evaluation harness metrics."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gns_tpu.eval.harness import compute_metrics, evaluate, run_nr_oracle
+from gns_tpu.eval.newton_raphson import newton_raphson_pf
+from gns_tpu.models.gns import init_gns_params
+from gns_tpu.physics import local_power_imbalance
+from gns_tpu.utils.augment import generate_cases
+from gns_tpu.utils.cases import CASE_SIZES, load_case
+from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import prepare_case
+from gns_tpu.utils.schema import GEN
+
+
+@pytest.mark.parametrize("case_nr", sorted(CASE_SIZES))
+def test_nr_converges_base_cases(case_nr):
+    res = newton_raphson_pf(load_case(case_nr))
+    assert res.success
+    # power balance: total injections equal zero mismatch at tolerance
+    assert res.iterations <= 8
+
+
+def test_nr_matches_canonical_case14():
+    """IEEE 14-bus canonical solution (slack 1.06/0deg, bus2 -4.98deg...)."""
+    res = newton_raphson_pf(load_case(14))
+    np.testing.assert_allclose(res.vm[:3], [1.06, 1.045, 1.01], atol=1e-4)
+    np.testing.assert_allclose(
+        res.va_deg[:5], [0.0, -4.983, -12.725, -10.313, -8.774], atol=5e-3
+    )
+
+
+@pytest.mark.parametrize("case_nr", [14, 30])
+def test_paper_physics_zero_residual_at_nr_solution(case_nr):
+    """Feeding the NR solution into the paper-correct residual gives ~0.
+
+    This pins the paper-mode (reference_parity=False) branch-flow equations
+    to ground truth independently of the reference code: at the true power
+    flow solution, every bus's active mismatch vanishes, and the reactive
+    mismatch vanishes at PQ buses (PV/slack buses absorb Q into their
+    generators).
+    """
+    case = load_case(case_nr)
+    res = newton_raphson_pf(case)
+    assert res.success
+    # true shunts, no paper override
+    buses, lines, gens = prepare_case(
+        {**case, "bus": res.bus, "gen": res.gen}, paper_shunts=False
+    )
+    v = res.vm.astype(np.float32)
+    theta = np.deg2rad(res.va_deg).astype(np.float32)
+    base = case["baseMVA"]
+    pg = (res.gen[:, 1] / base).astype(np.float32)
+    # per-bus reactive generation from the solved gens
+    n = buses.shape[0]
+    qg_bus = np.zeros(n, np.float32)
+    np.add.at(qg_bus, gens[:, GEN["bus_i"]].astype(int) - 1,
+              (res.gen[:, 2] / base).astype(np.float32))
+
+    dp, dq = local_power_imbalance(
+        v, theta, buses, lines, gens, pg, qg_bus, reference_parity=False,
+        method="scatter",
+    )
+    np.testing.assert_allclose(np.asarray(dp), 0.0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dq), 0.0, atol=2e-4)
+
+
+def test_evaluate_harness_smoke(tmp_path):
+    """End-to-end harness on a few augmented grids with a fresh model."""
+    cfg = GNSConfig(K=2, latent_dim=8, hidden_dim=8)
+    params = init_gns_params(jax.random.key(0), cfg)
+    cases = list(generate_cases(14, 4, seed=11))
+    m = evaluate(
+        params, cfg, cases, method="scatter",
+        plot_path=str(tmp_path / "per_bus.png"), verbose=False,
+    )
+    assert m["nr_converged_frac"] == 1.0
+    assert np.isfinite(m["v_mse"]) and np.isfinite(m["theta_mse"])
+    assert m["alf_pct_p20"] <= m["alf_pct_median"] <= m["alf_pct_p80"]
+    import os
+
+    assert os.path.exists(m["plot"])
+
+
+def test_compute_metrics_identical_inputs():
+    """If GNS output equals the oracle, all error metrics are ~0."""
+    cases = list(generate_cases(14, 3, seed=13))
+    nr = run_nr_oracle(cases)
+    gns = {
+        "time": nr["time"].copy(),
+        "v": nr["v"].copy(),
+        "theta": np.deg2rad(nr["theta_deg"]),
+        "last_loss": np.zeros(len(cases), np.float32),
+        "line_flow": nr["line_flow"].copy(),
+    }
+    m = compute_metrics(nr, gns)
+    assert m["v_mse"] == 0 and m["theta_mse"] == 0
+    assert m["alf_pct_median"] == 0

@@ -1,0 +1,105 @@
+"""Kernel tests: segment-sum/gather across all lowerings, forward and VJP,
+including padded/empty segments (SURVEY.md §4 'Kernel tests').
+
+Pallas kernels run in interpreter mode on the CPU test mesh; the real-TPU
+path is exercised by bench/TPU smoke scripts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gns_tpu.ops import segment_sum
+from gns_tpu.ops.pallas_segment import pallas_gather, pallas_segment_sum
+from gns_tpu.ops.segment import broadcast_col0_segment_sum
+
+
+def _random_problem(key, e=37, n=17, d=8, batch=None):
+    k1, k2 = jax.random.split(jax.random.key(key))
+    shape = (e, d) if batch is None else (batch, e, d)
+    data = jax.random.normal(k1, shape, jnp.float32)
+    seg = jax.random.randint(k2, (e,), 0, n, jnp.int32)
+    return data, seg, n
+
+
+@pytest.mark.parametrize("method", ["scatter", "onehot"])
+def test_segment_sum_methods_agree(method):
+    data, seg, n = _random_problem(0)
+    ref = np.zeros((n, data.shape[1]), np.float32)
+    np.add.at(ref, np.asarray(seg), np.asarray(data))
+    out = segment_sum(data, seg, n, method=method)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_segment_sum_1d():
+    data, seg, n = _random_problem(1)
+    data = data[:, 0]
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, np.asarray(seg), np.asarray(data))
+    for method in ("scatter", "onehot"):
+        np.testing.assert_allclose(
+            np.asarray(segment_sum(data, seg, n, method=method)), ref,
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_empty_segments_and_out_of_range():
+    """Buses with no edges stay zero; out-of-range ids are dropped."""
+    data = jnp.ones((4, 3), jnp.float32)
+    seg = jnp.array([0, 0, 2, 9], jnp.int32)  # 9 >= n -> dropped
+    for method in ("scatter", "onehot"):
+        out = np.asarray(segment_sum(data, seg, 5, method=method))
+        assert out[0].sum() == 6.0  # two edges
+        assert np.all(out[1] == 0) and np.all(out[3] == 0) and np.all(out[4] == 0)
+        assert out[2].sum() == 3.0
+
+
+def test_broadcast_col0_quirk():
+    data, seg, n = _random_problem(2, d=1)
+    out = np.asarray(broadcast_col0_segment_sum(data, seg, n, latent_dim=6))
+    assert out.shape == (n, 6)
+    assert np.all(out[:, 1:] == 0)
+    ref = np.asarray(segment_sum(data[:, 0], seg, n, method="scatter"))
+    np.testing.assert_allclose(out[:, 0], ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("batch", [None, 3])
+def test_pallas_segment_sum_interpret(batch):
+    data, seg, n = _random_problem(3, batch=batch)
+    ref = segment_sum(
+        data if batch is None else data.reshape(-1, data.shape[-1]),
+        jnp.tile(seg, batch or 1)
+        + jnp.repeat(jnp.arange(batch or 1) * n, seg.shape[0]),
+        n * (batch or 1),
+        method="scatter",
+    )
+    ref = np.asarray(ref).reshape((batch or 1), n, data.shape[-1])
+    out = np.asarray(pallas_segment_sum(data, seg, n, True))
+    out = out.reshape((batch or 1), n, data.shape[-1])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_gather_interpret():
+    key = jax.random.key(7)
+    data = jax.random.normal(key, (11, 4), jnp.float32)
+    seg = jnp.array([0, 3, 3, 10, 5], jnp.int32)
+    out = np.asarray(pallas_gather(data, seg, 5, interpret=True))
+    np.testing.assert_allclose(out, np.asarray(data)[np.asarray(seg)], rtol=1e-6)
+
+
+def test_pallas_segment_sum_vjp_matches_xla():
+    data, seg, n = _random_problem(4)
+
+    def f_pallas(x):
+        return (pallas_segment_sum(x, seg, n, True) ** 2).sum()
+
+    def f_xla(x):
+        return (segment_sum(x, seg, n, method="scatter") ** 2).sum()
+
+    g_pallas = jax.grad(f_pallas)(data)
+    g_xla = jax.grad(f_xla)(data)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-5, atol=1e-6
+    )
