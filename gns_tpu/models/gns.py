@@ -101,8 +101,21 @@ def gns_forward(
     n_bus: Optional[jnp.ndarray] = None,
     method: str = "auto",
     precision=None,
+    edge_axis: Optional[str] = None,
 ) -> GNSOutput:
-    """Run K correction steps on one grid. Shapes: (N,6), (E,7), (G,7)."""
+    """Run K correction steps on one grid. Shapes: (N,6), (E,7), (G,7).
+
+    edge_axis: when the edge set is sharded over a named mesh axis inside
+    shard_map, per-bus edge aggregations are psum'ed over that axis — the
+    boundary-latent exchange of edge-partitioned execution (ICI all-reduce).
+    Bus/gen state is replicated across the axis. Requires
+    reference_parity=False (see physics/compensation.py).
+    """
+    if edge_axis is not None and cfg.reference_parity:
+        raise ValueError("edge-partitioned execution requires reference_parity=False")
+
+    def _psum(x):
+        return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
     n = buses.shape[0]
     latent = cfg.latent_dim
     f32 = buses.dtype
@@ -157,7 +170,7 @@ def gns_forward(
             out = learning_block_apply(
                 step_params[name], edge_in, cfg.leaky_relu_slope, precision
             )
-            return segment_sum(out * lm_col, dst, n, method=method)
+            return _psum(segment_sum(out * lm_col, dst, n, method=method))
 
         if cfg.multiple_phi:
             in_v = jnp.concatenate([node_base, agg_phi("phi_v")], axis=1)
@@ -175,7 +188,9 @@ def gns_forward(
             else:
                 # paper-correct: broadcast the scalar message across latent.
                 phi_sum = jnp.broadcast_to(
-                    segment_sum(phi_out[:, 0] * lm, dst, n, method=method)[:, None],
+                    _psum(
+                        segment_sum(phi_out[:, 0] * lm, dst, n, method=method)
+                    )[:, None],
                     (n, latent),
                 )
             in_v = in_theta = in_m = jnp.concatenate([node_base, phi_sum], axis=1)
@@ -198,11 +213,13 @@ def gns_forward(
             v, theta, buses, lines, generators,
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
+            edge_axis=edge_axis,
         )
         delta_p, delta_q = local_power_imbalance(
             v, theta, buses, lines, generators, pg_new, qg_new,
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
+            edge_axis=edge_axis,
         )
         total_loss = total_loss + disc * residual_sums(delta_p, delta_q)
         return (v, theta, m, delta_p, delta_q, total_loss), None

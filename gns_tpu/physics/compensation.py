@@ -25,6 +25,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from gns_tpu.ops import segment_sum
 from gns_tpu.physics.common import branch_flows, edge_geometry
 from gns_tpu.utils.schema import BUS, GEN
@@ -63,8 +65,22 @@ def global_active_compensation(
     line_mask: Optional[jnp.ndarray] = None,
     gen_mask: Optional[jnp.ndarray] = None,
     method: str = "auto",
+    edge_axis: Optional[str] = None,
 ):
-    """Return (Pg_new (G,), qg_new (N,)). See module docstring."""
+    """Return (Pg_new (G,), qg_new (N,)). See module docstring.
+
+    edge_axis: mesh axis name over which the edge (line) set is sharded —
+    inside shard_map, per-bus aggregates and scalar line sums become local
+    partials that are psum'ed over this axis (the boundary exchange of the
+    edge-partitioned execution; requires reference_parity=False because
+    quirk Q2's bus-id gathers into per-line arrays are only defined on the
+    unpartitioned edge set).
+    """
+    if edge_axis is not None and reference_parity:
+        raise ValueError("edge-partitioned execution requires reference_parity=False")
+
+    def _psum(x):
+        return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
     n = buses.shape[0]
     geom = edge_geometry(lines)
     src, dst = geom.src, geom.dst
@@ -89,7 +105,7 @@ def global_active_compensation(
         p_joule = jnp.sum(msg * lm)
     else:
         p_f, _, p_t, _ = branch_flows(v, theta, geom)
-        p_joule = jnp.sum((p_f + p_t) * lm)
+        p_joule = _psum(jnp.sum((p_f + p_t) * lm))
 
     v2 = v * v
     pd = buses[:, BUS["Pd"]]
@@ -130,8 +146,9 @@ def global_active_compensation(
         qg_new = qg_start - aggr_from - aggr_to
     else:
         _, q_f, _, q_t = branch_flows(v, theta, geom)
-        q_at_bus = segment_sum(q_f * lm, src, n, method=method) + segment_sum(
-            q_t * lm, dst, n, method=method
+        q_at_bus = _psum(
+            segment_sum(q_f * lm, src, n, method=method)
+            + segment_sum(q_t * lm, dst, n, method=method)
         )
         qg_new = qg_start + q_at_bus
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from gns_tpu.ops import segment_sum
@@ -34,9 +35,16 @@ def local_power_imbalance(
     line_mask: Optional[jnp.ndarray] = None,
     gen_mask: Optional[jnp.ndarray] = None,
     method: str = "auto",
+    edge_axis: Optional[str] = None,
 ):
     """Return (delta_p (N,), delta_q (N,)) for generator outputs pg_k (G,),
-    per-bus reactive generation qg_k (N,)."""
+    per-bus reactive generation qg_k (N,). See compensation.py for
+    edge_axis semantics (edge-partitioned execution)."""
+    if edge_axis is not None and reference_parity:
+        raise ValueError("edge-partitioned execution requires reference_parity=False")
+
+    def _psum(x):
+        return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
     n = buses.shape[0]
     geom = edge_geometry(lines)
     src, dst = geom.src, geom.dst
@@ -93,11 +101,11 @@ def local_power_imbalance(
         delta_q = delta_q_start + q_sum
     else:
         p_f, q_f, p_t, q_t = branch_flows(v, theta, geom)
-        delta_p = delta_p_start - (
+        delta_p = delta_p_start - _psum(
             segment_sum(p_f * lm, src, n, method=method)
             + segment_sum(p_t * lm, dst, n, method=method)
         )
-        delta_q = delta_q_start - (
+        delta_q = delta_q_start - _psum(
             segment_sum(q_f * lm, src, n, method=method)
             + segment_sum(q_t * lm, dst, n, method=method)
         )

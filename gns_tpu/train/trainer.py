@@ -134,7 +134,10 @@ def train(
                 break
         else:
             best_loss = epoch_final_loss
-            best_state = state
+            # Snapshot to host: the jitted step donates its input state, so
+            # keeping a live reference to device buffers would see them
+            # deleted on the next step.
+            best_state = jax.device_get(state)
             increase_counter = 0
             if checkpoint_fn:
                 checkpoint_fn(best_state, epoch, best_loss)

@@ -53,6 +53,8 @@ def test_train_driver_improves(data14):
     cfg = CFG.replace(epochs=5)
     best, history = train(cfg, data14, method="scatter")
     assert history[-1]["final_loss"] < history[0]["final_loss"]
+    # regression: best params must stay readable after donated steps
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(best.params))
 
 
 def test_checkpoint_roundtrip(tmp_path, data14):

@@ -1,0 +1,193 @@
+"""Accuracy parity experiment: gns_tpu vs the PyTorch reference.
+
+Trains BOTH implementations with identical budgets on the reference's own
+shipped case14 pickles (grids 1..256, the reference's default training set:
+GNS/main.py:251-255), then evaluates BOTH on the same held-out grids
+(769..1000) against the built-in Newton-Raphson oracle, reporting v/theta
+MSE — the BASELINE.json accuracy criterion ("equal or better v/theta MSE").
+
+The reference trains with its native loop (sequential samples, one backward
+per batch); gns_tpu with its jitted vmapped step. Same hyperparameters,
+same optimizer, same data, same epochs. Writes ACCURACY.json + prints a
+table.
+
+Usage: python tools/accuracy_parity.py [--epochs 101] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REF_DATA = "/root/reference/data"
+
+from tools.make_goldens import REF_GNS, install_stubs  # noqa: E402
+
+
+def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, seed):
+    import torch
+
+    install_stubs()
+    sys.path.insert(0, REF_GNS)
+    import main as ref_main
+    from utils import get_BLG, prepare_grid
+
+    B, L, G = get_BLG()
+    cwd = os.getcwd()
+    os.chdir(REF_GNS)
+    try:
+        grids = [prepare_grid(14, i) for i in range(1, nr_samples + 1)]
+    finally:
+        os.chdir(cwd)
+
+    torch.manual_seed(seed)
+    model = ref_main.GNS(latent_dim=latent, hidden_dim=hidden, K=K, gamma=0.9,
+                         multiple_phi=mphi)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    best_loss, best_sd, inc = float("inf"), None, 0
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        last_losses = []
+        for b0 in range(0, nr_samples, batch_size):
+            losses = []
+            for i in range(b0, min(b0 + batch_size, nr_samples)):
+                buses, lines, gens = grids[i]
+                _, _, loss, last = model(buses=buses, lines=lines,
+                                         generators=gens, B=B, L=L, G=G)
+                losses.append(loss)
+                last_losses.append(float(last))
+            total = torch.stack(losses).mean()
+            total.backward()
+            opt.step()
+            opt.zero_grad()
+        epoch_loss = float(np.mean(last_losses))
+        if epoch % 5 == 0:
+            print(f"[torch] epoch {epoch} last_loss {epoch_loss:.6f} "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        if epoch_loss >= best_loss:
+            inc += 1
+            if inc > 2:
+                print(f"[torch] early stop at epoch {epoch}")
+                break
+        else:
+            best_loss, inc = epoch_loss, 0
+            best_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    train_sec = time.perf_counter() - t0
+    return best_sd or model.state_dict(), train_sec
+
+
+def eval_reference(sd, cases, K, latent, hidden, mphi):
+    import torch
+
+    sys.path.insert(0, REF_GNS)
+    import main as ref_main
+    from utils import get_BLG
+
+    from gns_tpu.utils.prepare import prepare_case
+
+    B, L, G = get_BLG()
+    model = ref_main.GNS(latent_dim=latent, hidden_dim=hidden, K=K, gamma=0.9,
+                         multiple_phi=mphi)
+    model.load_state_dict(sd)
+    model.eval()
+    vs, ths = [], []
+    with torch.no_grad():
+        for case in cases:
+            buses, lines, gens = (torch.from_numpy(a) for a in prepare_case(case))
+            v, th, _, _ = model(buses=buses, lines=lines, generators=gens,
+                                B=B, L=L, G=G)
+            vs.append(v.numpy())
+            ths.append(th.numpy())
+    return np.stack(vs), np.stack(ths)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=101)
+    ap.add_argument("--nr-samples", type=int, default=256)
+    ap.add_argument("--eval-samples", type=int, default=232)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny budget smoke (epochs=3, 32 train grids)")
+    args = ap.parse_args()
+    if args.quick:
+        args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16
+
+    K, latent, hidden, mphi = 4, 20, 10, True
+    seed = 1234
+
+    # ---- held-out eval grids: last pickles shipped with the reference ----
+    cases = []
+    for i in range(1001 - args.eval_samples, 1001):
+        with open(f"{REF_DATA}/case14/augmented_case14_{i}.pkl", "rb") as f:
+            cases.append(pickle.load(f))
+
+    # ---- NR oracle ----
+    from gns_tpu.eval.harness import compute_metrics, run_nr_oracle
+
+    nr = run_nr_oracle(cases)
+    print(f"NR oracle: {nr['converged'].mean()*100:.0f}% converged")
+
+    # ---- train + eval gns_tpu ----
+    import jax
+
+    from gns_tpu.eval.harness import run_gns
+    from gns_tpu.train.trainer import train
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import load_all_grids
+
+    cfg = GNSConfig(K=K, latent_dim=latent, hidden_dim=hidden,
+                    multiple_phi=mphi, epochs=args.epochs,
+                    nr_samples=args.nr_samples, seed=seed,
+                    batch_size=min(128, args.nr_samples))
+    data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
+    t0 = time.perf_counter()
+    best, history = train(cfg, data, log_fn=lambda r: (
+        print(f"[jax] epoch {r['epoch']} last_loss {r['final_loss']:.6f}", flush=True)
+        if r["epoch"] % 5 == 0 else None))
+    jax_sec = time.perf_counter() - t0
+    gns = run_gns(best.params, cfg, cases)
+    m_jax = compute_metrics(nr, gns)
+
+    # ---- train + eval reference ----
+    sd, torch_sec = train_reference(args.epochs, K, latent, hidden, mphi,
+                                    args.nr_samples, cfg.batch_size, seed)
+    v_t, th_t = eval_reference(sd, cases, K, latent, hidden, mphi)
+    gns_t = {"time": np.zeros(len(cases), np.float32), "v": v_t, "theta": th_t,
+             "last_loss": np.zeros(len(cases), np.float32),
+             "line_flow": gns["line_flow"] * 0}
+    m_torch = compute_metrics(nr, gns_t)
+
+    result = {
+        "config": {"K": K, "latent": latent, "hidden": hidden,
+                   "multiple_phi": mphi, "epochs": args.epochs,
+                   "train_grids": args.nr_samples,
+                   "eval_grids": args.eval_samples},
+        "gns_tpu": {"v_mse": m_jax["v_mse"], "theta_mse": m_jax["theta_mse"],
+                    "v_abs_mean": m_jax["v_abs_diff_mean"],
+                    "theta_abs_mean": m_jax["theta_abs_diff_mean"],
+                    "train_sec": jax_sec},
+        "reference": {"v_mse": m_torch["v_mse"], "theta_mse": m_torch["theta_mse"],
+                      "v_abs_mean": m_torch["v_abs_diff_mean"],
+                      "theta_abs_mean": m_torch["theta_abs_diff_mean"],
+                      "train_sec": torch_sec},
+    }
+    out = os.path.join(REPO, "ACCURACY.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    print(f"v MSE: gns_tpu {m_jax['v_mse']:.6g} vs reference {m_torch['v_mse']:.6g}")
+    print(f"theta MSE: gns_tpu {m_jax['theta_mse']:.6g} vs reference {m_torch['theta_mse']:.6g}")
+    print(f"train time: gns_tpu {jax_sec:.1f}s vs reference {torch_sec:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
