@@ -30,10 +30,14 @@ def main():
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--latent", type=int, default=20)
     p.add_argument("--hidden", type=int, default=10)
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--method", default="onehot")
+    # bf16 MLP compute is the production default on TPU (params/physics stay
+    # f32); use --compute-dtype float32 for parity-grade numerics.
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -51,6 +55,8 @@ def main():
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True, batch_size=args.batch,
+        compute_dtype=args.compute_dtype,
+        reference_parity=(args.compute_dtype == "float32"),
     )
     batch = batch_from_cases(
         list(generate_cases(args.case, args.batch - 1, seed=0))

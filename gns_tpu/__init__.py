@@ -26,5 +26,23 @@ eval      Newton-Raphson oracle and the evaluation/metrics harness
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: in this environment a fresh compile
+# round-trips a remote compile service (~4-5 min per program); the cache
+# brings warm starts to seconds. Opt out with GNS_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GNS_TPU_NO_COMPILE_CACHE"):
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from gns_tpu.utils.schema import BUS, LINE, GEN, get_BLG  # noqa: F401
 from gns_tpu.utils.config import GNSConfig  # noqa: F401

@@ -116,6 +116,15 @@ def compute_metrics(nr: Dict, gns: Dict) -> Dict:
     # reference convention: sort flat, keep the lowest 50% (evaluate.py:126)
     pct_sorted = np.sort(pct, axis=None)[: pct.size // 2]
 
+    # Offset-invariant theta comparison: the physics residual is invariant
+    # under a global angle shift (theta -> theta + c leaves every flow
+    # unchanged), so the GNS angle reference is unidentified; mean-center
+    # both before comparing. The raw metric (reference convention,
+    # evaluate.py:101) is reported alongside.
+    th_g = gns["theta"] - gns["theta"].mean(axis=1, keepdims=True)
+    th_n = nr_theta - nr_theta.mean(axis=1, keepdims=True)
+    theta_centered_diff = np.abs(th_g - th_n)
+
     return {
         "time_diff_mean": float(time_diff.mean()),
         "time_diff_std": float(time_diff.std()),
@@ -125,6 +134,8 @@ def compute_metrics(nr: Dict, gns: Dict) -> Dict:
         "v_abs_diff_std": float(v_diff.std()),
         "v_mse": float((v_diff**2).mean()),
         "theta_mse": float((theta_diff**2).mean()),
+        "theta_centered_mse": float((theta_centered_diff**2).mean()),
+        "theta_centered_abs_mean": float(theta_centered_diff.mean()),
         "last_loss_mean": float(gns["last_loss"].mean()),
         "last_loss_std": float(gns["last_loss"].std()),
         "alf_pct_p20": float(np.percentile(pct_sorted, 20)),

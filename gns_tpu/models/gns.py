@@ -116,6 +116,17 @@ def gns_forward(
 
     def _psum(x):
         return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
+
+    # Mixed precision: run the MLPs in compute_dtype (bf16 on the MXU),
+    # keep state/physics in float32.
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def mlp(block_params, x):
+        if cdt != x.dtype:
+            block_params = jax.tree.map(lambda p: p.astype(cdt), block_params)
+            x = x.astype(cdt)
+        out = learning_block_apply(block_params, x, cfg.leaky_relu_slope, precision)
+        return out.astype(jnp.float32) if cdt != jnp.float32 else out
     n = buses.shape[0]
     latent = cfg.latent_dim
     f32 = buses.dtype
@@ -167,9 +178,7 @@ def gns_forward(
         )
 
         def agg_phi(name):
-            out = learning_block_apply(
-                step_params[name], edge_in, cfg.leaky_relu_slope, precision
-            )
+            out = mlp(step_params[name], edge_in)
             return _psum(segment_sum(out * lm_col, dst, n, method=method))
 
         if cfg.multiple_phi:
@@ -177,9 +186,7 @@ def gns_forward(
             in_theta = jnp.concatenate([node_base, agg_phi("phi_theta")], axis=1)
             in_m = jnp.concatenate([node_base, agg_phi("phi_m")], axis=1)
         else:
-            phi_out = learning_block_apply(
-                step_params["phi"], edge_in, cfg.leaky_relu_slope, precision
-            )
+            phi_out = mlp(step_params["phi"], edge_in)
             if cfg.reference_parity:
                 # Q1: (E,1) messages write only latent column 0.
                 phi_sum = broadcast_col0_segment_sum(
@@ -195,15 +202,9 @@ def gns_forward(
                 )
             in_v = in_theta = in_m = jnp.concatenate([node_base, phi_sum], axis=1)
 
-        theta_up = learning_block_apply(
-            step_params["L_theta"], in_theta, cfg.leaky_relu_slope, precision
-        )[:, 0]
-        v_up = learning_block_apply(
-            step_params["L_v"], in_v, cfg.leaky_relu_slope, precision
-        )[:, 0]
-        m_up = learning_block_apply(
-            step_params["L_m"], in_m, cfg.leaky_relu_slope, precision
-        )
+        theta_up = mlp(step_params["L_theta"], in_theta)[:, 0]
+        v_up = mlp(step_params["L_v"], in_v)[:, 0]
+        m_up = mlp(step_params["L_m"], in_m)
 
         theta = theta + theta_up
         v = jnp.where(is_gen, v, v + v_up)  # PV freeze (main.py:184-186)

@@ -46,10 +46,14 @@ class GNSConfig:
     seed: int = 0
 
     # --- execution ---
-    # Number of grids evaluated per jitted device step (vmap width).
-    # The reference runs grids one at a time (main.py:279-283); on TPU the
-    # whole batch runs as one program.
+    # Storage dtype of parameters/state (keep float32: Adam moments and the
+    # physics residual need it).
     dtype: str = "float32"
+    # MLP compute dtype: "bfloat16" runs the LearningBlock matmuls natively
+    # on the MXU with bf16 activations (halves HBM/VMEM traffic of the edge
+    # stage); state updates and physics stay float32. Not parity-grade —
+    # use float32 with reference_parity.
+    compute_dtype: str = "float32"
 
     @property
     def lr(self) -> float:

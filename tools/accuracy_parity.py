@@ -32,7 +32,10 @@ REF_DATA = "/root/reference/data"
 from tools.make_goldens import REF_GNS, install_stubs  # noqa: E402
 
 
-def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, seed):
+def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, seed,
+                    resume_path="/tmp/acc_torch_state.pt"):
+    """Train the reference; resumable (saves model+opt each epoch) so long
+    runs can proceed in <10-min chunks under the sandbox process cap."""
     import torch
 
     install_stubs()
@@ -53,9 +56,17 @@ def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, see
                          multiple_phi=mphi)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
 
-    best_loss, best_sd, inc = float("inf"), None, 0
+    best_loss, best_sd, inc, start_epoch = float("inf"), None, 0, 0
     t0 = time.perf_counter()
-    for epoch in range(epochs):
+    if resume_path and os.path.exists(resume_path):
+        ck = torch.load(resume_path)
+        model.load_state_dict(ck["model"])
+        opt.load_state_dict(ck["opt"])
+        best_loss, best_sd, inc = ck["best_loss"], ck["best_sd"], ck["inc"]
+        start_epoch = ck["epoch"] + 1
+        t0 -= ck["elapsed"]
+        print(f"[torch] resumed at epoch {start_epoch}", flush=True)
+    for epoch in range(start_epoch, epochs):
         last_losses = []
         for b0 in range(0, nr_samples, batch_size):
             losses = []
@@ -81,7 +92,14 @@ def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, see
         else:
             best_loss, inc = epoch_loss, 0
             best_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+        if resume_path:
+            torch.save({"model": model.state_dict(), "opt": opt.state_dict(),
+                        "best_loss": best_loss, "best_sd": best_sd,
+                        "inc": inc, "epoch": epoch,
+                        "elapsed": time.perf_counter() - t0}, resume_path)
     train_sec = time.perf_counter() - t0
+    if resume_path and os.path.exists(resume_path):
+        os.remove(resume_path)
     return best_sd or model.state_dict(), train_sec
 
 
@@ -117,6 +135,8 @@ def main():
     ap.add_argument("--eval-samples", type=int, default=232)
     ap.add_argument("--quick", action="store_true",
                     help="tiny budget smoke (epochs=3, 32 train grids)")
+    ap.add_argument("--phase", choices=["all", "jax", "torch"], default="all",
+                    help="run one side only (results merge into ACCURACY.json)")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16
@@ -134,59 +154,70 @@ def main():
     from gns_tpu.eval.harness import compute_metrics, run_nr_oracle
 
     nr = run_nr_oracle(cases)
-    print(f"NR oracle: {nr['converged'].mean()*100:.0f}% converged")
+    print(f"NR oracle: {nr['converged'].mean()*100:.0f}% converged", flush=True)
 
-    # ---- train + eval gns_tpu ----
-    import jax
-
-    from gns_tpu.eval.harness import run_gns
-    from gns_tpu.train.trainer import train
-    from gns_tpu.utils.config import GNSConfig
-    from gns_tpu.utils.prepare import load_all_grids
-
-    cfg = GNSConfig(K=K, latent_dim=latent, hidden_dim=hidden,
-                    multiple_phi=mphi, epochs=args.epochs,
-                    nr_samples=args.nr_samples, seed=seed,
-                    batch_size=min(128, args.nr_samples))
-    data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
-    t0 = time.perf_counter()
-    best, history = train(cfg, data, log_fn=lambda r: (
-        print(f"[jax] epoch {r['epoch']} last_loss {r['final_loss']:.6f}", flush=True)
-        if r["epoch"] % 5 == 0 else None))
-    jax_sec = time.perf_counter() - t0
-    gns = run_gns(best.params, cfg, cases)
-    m_jax = compute_metrics(nr, gns)
-
-    # ---- train + eval reference ----
-    sd, torch_sec = train_reference(args.epochs, K, latent, hidden, mphi,
-                                    args.nr_samples, cfg.batch_size, seed)
-    v_t, th_t = eval_reference(sd, cases, K, latent, hidden, mphi)
-    gns_t = {"time": np.zeros(len(cases), np.float32), "v": v_t, "theta": th_t,
-             "last_loss": np.zeros(len(cases), np.float32),
-             "line_flow": gns["line_flow"] * 0}
-    m_torch = compute_metrics(nr, gns_t)
-
+    out_path = os.path.join(REPO, "ACCURACY.json")
     result = {
         "config": {"K": K, "latent": latent, "hidden": hidden,
                    "multiple_phi": mphi, "epochs": args.epochs,
                    "train_grids": args.nr_samples,
                    "eval_grids": args.eval_samples},
-        "gns_tpu": {"v_mse": m_jax["v_mse"], "theta_mse": m_jax["theta_mse"],
-                    "v_abs_mean": m_jax["v_abs_diff_mean"],
-                    "theta_abs_mean": m_jax["theta_abs_diff_mean"],
-                    "train_sec": jax_sec},
-        "reference": {"v_mse": m_torch["v_mse"], "theta_mse": m_torch["theta_mse"],
-                      "v_abs_mean": m_torch["v_abs_diff_mean"],
-                      "theta_abs_mean": m_torch["theta_abs_diff_mean"],
-                      "train_sec": torch_sec},
     }
-    out = os.path.join(REPO, "ACCURACY.json")
-    with open(out, "w") as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if prev.get("config") == result["config"]:
+            result = prev  # merge phases
+
+    if args.phase in ("all", "jax"):
+        from gns_tpu.eval.harness import run_gns
+        from gns_tpu.train.trainer import train
+        from gns_tpu.utils.config import GNSConfig
+        from gns_tpu.utils.prepare import load_all_grids
+
+        cfg = GNSConfig(K=K, latent_dim=latent, hidden_dim=hidden,
+                        multiple_phi=mphi, epochs=args.epochs,
+                        nr_samples=args.nr_samples, seed=seed,
+                        batch_size=min(128, args.nr_samples))
+        data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
+        t0 = time.perf_counter()
+        best, history = train(cfg, data, log_fn=lambda r: (
+            print(f"[jax] epoch {r['epoch']} last_loss {r['final_loss']:.6f}",
+                  flush=True) if r["epoch"] % 5 == 0 else None))
+        jax_sec = time.perf_counter() - t0
+        gns = run_gns(best.params, cfg, cases)
+        m_jax = compute_metrics(nr, gns)
+        result["gns_tpu"] = {
+            "v_mse": m_jax["v_mse"], "theta_mse": m_jax["theta_mse"],
+            "theta_centered_mse": m_jax["theta_centered_mse"],
+            "v_abs_mean": m_jax["v_abs_diff_mean"],
+            "theta_abs_mean": m_jax["theta_abs_diff_mean"],
+            "gns_time_per_grid_sec": float(np.mean(gns["time"])),
+            "nr_time_per_grid_sec": float(np.mean(nr["time"])),
+            "train_sec": jax_sec, "epochs_ran": len(history),
+        }
+
+    if args.phase in ("all", "torch"):
+        sd, torch_sec = train_reference(args.epochs, K, latent, hidden, mphi,
+                                        args.nr_samples,
+                                        min(128, args.nr_samples), seed)
+        v_t, th_t = eval_reference(sd, cases, K, latent, hidden, mphi)
+        gns_t = {"time": np.zeros(len(cases), np.float32), "v": v_t,
+                 "theta": th_t,
+                 "last_loss": np.zeros(len(cases), np.float32),
+                 "line_flow": np.zeros_like(nr["line_flow"])}
+        m_torch = compute_metrics(nr, gns_t)
+        result["reference"] = {
+            "v_mse": m_torch["v_mse"], "theta_mse": m_torch["theta_mse"],
+            "theta_centered_mse": m_torch["theta_centered_mse"],
+            "v_abs_mean": m_torch["v_abs_diff_mean"],
+            "theta_abs_mean": m_torch["theta_abs_diff_mean"],
+            "train_sec": torch_sec,
+        }
+
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps(result, indent=2))
-    print(f"v MSE: gns_tpu {m_jax['v_mse']:.6g} vs reference {m_torch['v_mse']:.6g}")
-    print(f"theta MSE: gns_tpu {m_jax['theta_mse']:.6g} vs reference {m_torch['theta_mse']:.6g}")
-    print(f"train time: gns_tpu {jax_sec:.1f}s vs reference {torch_sec:.1f}s")
+    print(json.dumps(result, indent=2), flush=True)
 
 
 if __name__ == "__main__":
