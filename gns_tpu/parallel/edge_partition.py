@@ -21,11 +21,9 @@ partitioned edge set.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map

@@ -19,11 +19,9 @@ so both physics modes work sharded.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
