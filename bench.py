@@ -1,12 +1,18 @@
 """Benchmark: training throughput (edges/s) on case300, K=4 — the
 BASELINE.json headline metric.
 
-Runs the full jitted training step (forward + backward + optimizer) on a
-batch of augmented case300 grids and reports aggregated edge-messages per
-second: batch * E * K / step_time. `vs_baseline` compares against the
-PyTorch reference measured on this machine's CPU with its native
-sequential-sample training loop (tools/bench_reference.py ->
-BASELINE_MEASURED.json).
+Measures the full training step (forward + backward + optimizer) over a
+batch of augmented case300 grids, run as a device-side `lax.scan` of
+`--inner-steps` optimizer steps per dispatch. Timing methodology (IMPORTANT
+on this environment): the remote-TPU relay acknowledges dispatches and
+`block_until_ready` before device execution completes, so the only
+trustworthy barrier is fetching a result *value* to the host. The timed
+region is whole dispatches bracketed by host value fetches, with enough
+inner steps that device time dwarfs the ~0.5 s tunnel round-trip.
+
+`vs_baseline` compares against the PyTorch reference measured on this
+machine's CPU with its native sequential-sample training loop
+(tools/bench_reference.py -> BASELINE_MEASURED.json).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
@@ -30,9 +36,11 @@ def main():
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--latent", type=int, default=20)
     p.add_argument("--hidden", type=int, default=10)
-    p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--inner-steps", type=int, default=32,
+                   help="optimizer steps per dispatch (device-side lax.scan)")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="timed dispatches (each inner-steps long)")
     p.add_argument("--method", default="onehot")
     # bf16 MLP compute is the production default on TPU (params/physics stay
     # f32); use --compute-dtype float32 for parity-grade numerics.
@@ -46,11 +54,12 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+    import jax.numpy as jnp
 
-    from gns_tpu.train.trainer import init_train_state, make_train_step
+    from gns_tpu.train.trainer import init_train_state, make_epoch_step
     from gns_tpu.utils.augment import generate_cases
     from gns_tpu.utils.config import GNSConfig
-    from gns_tpu.utils.prepare import batch_from_cases
+    from gns_tpu.utils.prepare import GridBatch, batch_from_cases
 
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
@@ -63,19 +72,23 @@ def main():
     )
     n_edges = batch.lines.shape[1]
     batch = jax.device_put(batch)
+    xs = GridBatch(
+        *(jnp.broadcast_to(a[None], (args.inner_steps,) + a.shape) for a in batch)
+    )
 
     state = init_train_state(jax.random.key(0), cfg)
-    step = make_train_step(cfg, method=args.method, donate=True)
+    step = make_epoch_step(cfg, method=args.method, donate=False)
 
-    for _ in range(args.warmup):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # warm-up: compile + one full execution, barriered by a value fetch.
+    state, metrics = step(state, xs)
+    float(metrics["loss"][-1])
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+    for _ in range(args.repeats):
+        state, metrics = step(state, xs)
+        loss = float(metrics["loss"][-1])  # host value fetch = real barrier
+    dt = (time.perf_counter() - t0) / (args.repeats * args.inner_steps)
+    assert loss == loss and loss != float("inf"), "non-finite loss"
 
     edges_per_s = args.batch * n_edges * args.K / dt
 

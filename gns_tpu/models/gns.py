@@ -121,12 +121,14 @@ def gns_forward(
     # keep state/physics in float32.
     cdt = jnp.dtype(cfg.compute_dtype)
 
-    def mlp(block_params, x):
+    def mlp(block_params, x, keep_dtype: bool = False):
         if cdt != x.dtype:
             block_params = jax.tree.map(lambda p: p.astype(cdt), block_params)
             x = x.astype(cdt)
         out = learning_block_apply(block_params, x, cfg.leaky_relu_slope, precision)
-        return out.astype(jnp.float32) if cdt != jnp.float32 else out
+        if keep_dtype or cdt == jnp.float32:
+            return out
+        return out.astype(jnp.float32)
     n = buses.shape[0]
     latent = cfg.latent_dim
     f32 = buses.dtype
@@ -178,8 +180,11 @@ def gns_forward(
         )
 
         def agg_phi(name):
-            out = mlp(step_params[name], edge_in)
-            return _psum(segment_sum(out * lm_col, dst, n, method=method))
+            # keep bf16 through the masked aggregation (f32 accumulation on
+            # the MXU via preferred_element_type in ops/segment.py)
+            out = mlp(step_params[name], edge_in, keep_dtype=True)
+            agg = segment_sum(out * lm_col.astype(out.dtype), dst, n, method=method)
+            return _psum(agg.astype(jnp.float32))
 
         if cfg.multiple_phi:
             in_v = jnp.concatenate([node_base, agg_phi("phi_v")], axis=1)

@@ -40,7 +40,13 @@ def _onehot_segment_sum(data, segment_ids, num_segments):
     squeeze = data.ndim == 1
     if squeeze:
         data = data[:, None]
-    out = jnp.matmul(a, data, precision=jax.lax.Precision.HIGHEST)
+    # float32 data needs HIGHEST (multi-pass) or the MXU truncates operands
+    # to bf16; bf16 data takes the fast single-pass path with float32
+    # accumulation (preferred_element_type), so sums stay accurate.
+    if data.dtype == jnp.float32:
+        out = jnp.matmul(a, data, precision=jax.lax.Precision.HIGHEST)
+    else:
+        out = jnp.matmul(a, data, preferred_element_type=jnp.float32)
     return out[:, 0] if squeeze else out
 
 

@@ -29,11 +29,16 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: GNSConfig) -> optax.GradientTransformation:
-    # reference: GNS/main.py:238-243 — Adam lr 1e-3 / Adagrad lr 1e-2.
+    # reference: GNS/main.py:238-243 — Adam lr 1e-3 / Adagrad lr 1e-2;
+    # optional linear warmup (the scheduler the reference sketches but
+    # leaves commented at main.py:245-247).
+    lr = cfg.lr
+    if cfg.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     if cfg.optimizer == "adagrad":
-        return optax.adagrad(cfg.lr)
+        return optax.adagrad(lr)
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.lr)
+        return optax.adam(lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
@@ -75,6 +80,59 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_epoch_step(
+    cfg: GNSConfig,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    method: str = "auto",
+    donate: bool = True,
+) -> Callable:
+    """Device-side epoch: one dispatch runs a lax.scan of update steps over
+    a stacked batch axis.
+
+    fn(TrainState, GridBatch with leading (n_batches, batch, ...) axes)
+      -> (TrainState, {loss (n_batches,), last_loss (n_batches,)})
+
+    Eliminates per-batch host dispatch latency — on this environment's
+    remote TPU a dispatch costs ~0.5 ms, comparable to the whole device-side
+    step, so scanning an epoch per call roughly doubles throughput.
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def loss_fn(params, batch: GridBatch):
+        out = gns_forward_batch(params, cfg, batch, method=method)
+        return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
+
+    def one_step(state: TrainState, batch: GridBatch):
+        (loss, last_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "last_loss": last_loss},
+        )
+
+    def epoch_fn(state: TrainState, batches: GridBatch):
+        return jax.lax.scan(one_step, state, batches)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+def stack_epoch(data: GridBatch, batch_size: int) -> GridBatch:
+    """Reshape a GridBatch (S, ...) into (S//bs, bs, ...) for make_epoch_step.
+    Trailing remainder grids are dropped (reference drops them too via its
+    range step, GNS/main.py:276)."""
+    n_batches = data.batch_size // batch_size
+    s = n_batches * batch_size
+    return GridBatch(
+        *(
+            a[:s].reshape((n_batches, batch_size) + a.shape[1:])
+            for a in data
+        )
+    )
+
+
 def make_eval_step(cfg: GNSConfig, method: str = "auto") -> Callable:
     """Jitted inference: (params, GridBatch) -> batched GNSOutput."""
 
@@ -104,11 +162,13 @@ def train(
     key = key if key is not None else jax.random.key(cfg.seed)
     if state is None:
         state = init_train_state(key, cfg)
-    step = make_train_step(cfg, method=method)
 
     n = data.batch_size
     bs = min(cfg.batch_size, n)
-    n_batches = n // bs
+    # One dispatch per epoch: scan the update step over the batch axis
+    # device-side (per-batch dispatch would dominate on the remote TPU).
+    epoch_step = make_epoch_step(cfg, method=method)
+    stacked = stack_epoch(data, bs)
 
     best_loss = float("inf")
     best_state = state
@@ -116,12 +176,8 @@ def train(
     history = []
     for epoch in range(cfg.epochs):
         t0 = time.perf_counter()
-        epoch_last_losses = []
-        for b in range(n_batches):
-            batch = data[b * bs : (b + 1) * bs]
-            state, metrics = step(state, batch)
-            epoch_last_losses.append(metrics["last_loss"])
-        epoch_final_loss = float(jnp.mean(jnp.stack(epoch_last_losses)))
+        state, metrics = epoch_step(state, stacked)
+        epoch_final_loss = float(jnp.mean(metrics["last_loss"]))
         dt = time.perf_counter() - t0
         history.append({"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt})
         if log_fn:

@@ -42,6 +42,10 @@ class GNSConfig:
     epochs: int = 101
     optimizer: str = "adam"  # "adam" | "adagrad"
     learning_rate: Optional[float] = None  # None -> per-optimizer default
+    # Linear LR warmup over this many optimizer steps (0 = off). The
+    # reference sketches (but comments out) an equivalent warmup scheduler
+    # at GNS/main.py:245-247.
+    warmup_steps: int = 0
     early_stop_patience: int = 2  # non-improving epochs tolerated (main.py:296-304)
     seed: int = 0
 
