@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from gns_tpu.models.blocks import init_learning_block, learning_block_apply
 from gns_tpu.ops import segment_sum
 from gns_tpu.ops.segment import broadcast_col0_segment_sum
-from gns_tpu.physics import global_active_compensation, local_power_imbalance
+from gns_tpu.physics.fused import physics_refresh
 from gns_tpu.utils.config import GNSConfig
 from gns_tpu.utils.schema import GEN
 
@@ -215,14 +215,10 @@ def gns_forward(
         v = jnp.where(is_gen, v, v + v_up)  # PV freeze (main.py:184-186)
         m = m + m_up
 
-        pg_new, qg_new = global_active_compensation(
+        # fused compensation + imbalance: shared edge messages computed
+        # once (physics/fused.py; numerically equal to the unfused pair)
+        pg_new, qg_new, delta_p, delta_q = physics_refresh(
             v, theta, buses, lines, generators,
-            reference_parity=cfg.reference_parity,
-            bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
-            edge_axis=edge_axis,
-        )
-        delta_p, delta_q = local_power_imbalance(
-            v, theta, buses, lines, generators, pg_new, qg_new,
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
             edge_axis=edge_axis,
