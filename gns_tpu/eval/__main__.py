@@ -20,7 +20,9 @@ def main():
     p.add_argument("--single-phi", dest="multiple_phi", action="store_false")
     p.add_argument("--samples", type=int, default=128)
     p.add_argument("--checkpoint", default=None,
-                   help="Orbax checkpoint dir or reference .pth file; random init if omitted")
+                   help="Orbax checkpoint dir, reference .pth file, or the literal "
+                        "'pretrained' for the shipped package checkpoint; "
+                        "random init if omitted")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--total-grids", type=int, default=10001)
     p.add_argument("--from-base-case", action="store_true",
@@ -46,6 +48,11 @@ def main():
         hidden_dim=args.hidden, multiple_phi=args.multiple_phi,
     )
 
+    if args.checkpoint == "pretrained":
+        from gns_tpu.models.pretrained import pretrained_config, pretrained_path
+
+        cfg = pretrained_config(args.case)
+        args.checkpoint = pretrained_path(args.case)
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         from gns_tpu.train.checkpoint import import_torch
 

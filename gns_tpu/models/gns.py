@@ -89,8 +89,7 @@ def init_gns_params(key, cfg: GNSConfig, dtype=jnp.float32):
     }
 
 
-def gns_forward(
-    params,
+def gns_machinery(
     cfg: GNSConfig,
     buses,
     lines,
@@ -102,8 +101,15 @@ def gns_forward(
     method: str = "auto",
     precision=None,
     edge_axis: Optional[str] = None,
-) -> GNSOutput:
-    """Run K correction steps on one grid. Shapes: (N,6), (E,7), (G,7).
+):
+    """Factor the K-step loop into (init_carry, step, finalize) for one grid.
+
+    `gns_forward` composes them with one lax.scan; the pipeline-parallel
+    executor (parallel/pipeline.py) runs contiguous slices of steps on
+    different devices, passing the carry between stages. The carry is
+    (v, theta, m, delta_p, delta_q, total_loss); `step(carry, (step_params,
+    discount))` advances one correction step; `finalize(carry)` applies the
+    v>=0 clamp and computes last_loss (reference: GNS/main.py:199-202).
 
     edge_axis: when the edge set is sharded over a named mesh axis inside
     shard_map, per-bus edge aggregations are psum'ed over that axis — the
@@ -227,13 +233,40 @@ def gns_forward(
         return (v, theta, m, delta_p, delta_q, total_loss), None
 
     init = (v, theta, m, delta_p, delta_q, jnp.asarray(0.0, f32))
-    (v, theta, m, delta_p, delta_q, total_loss), _ = jax.lax.scan(
-        step, init, (params, discounts)
-    )
 
-    last_loss = residual_sums(delta_p, delta_q)
-    v = jnp.maximum(v, 0.0)  # clamp (main.py:201)
-    return GNSOutput(v, theta, total_loss, last_loss, delta_p, delta_q)
+    def finalize(carry) -> GNSOutput:
+        v, theta, m, delta_p, delta_q, total_loss = carry
+        last_loss = residual_sums(delta_p, delta_q)
+        v = jnp.maximum(v, 0.0)  # clamp (main.py:201)
+        return GNSOutput(v, theta, total_loss, last_loss, delta_p, delta_q)
+
+    return init, step, finalize, discounts
+
+
+def gns_forward(
+    params,
+    cfg: GNSConfig,
+    buses,
+    lines,
+    generators,
+    bus_mask: Optional[jnp.ndarray] = None,
+    line_mask: Optional[jnp.ndarray] = None,
+    gen_mask: Optional[jnp.ndarray] = None,
+    n_bus: Optional[jnp.ndarray] = None,
+    method: str = "auto",
+    precision=None,
+    edge_axis: Optional[str] = None,
+) -> GNSOutput:
+    """Run K correction steps on one grid. Shapes: (N,6), (E,7), (G,7).
+
+    See gns_machinery for the edge_axis (edge-partitioned execution) story.
+    """
+    init, step, finalize, discounts = gns_machinery(
+        cfg, buses, lines, generators, bus_mask, line_mask, gen_mask, n_bus,
+        method=method, precision=precision, edge_axis=edge_axis,
+    )
+    carry, _ = jax.lax.scan(step, init, (params, discounts))
+    return finalize(carry)
 
 
 def gns_forward_batch(params, cfg: GNSConfig, batch, method: str = "auto", precision=None):

@@ -1,0 +1,63 @@
+"""CLI smoke tests: the three entry points mirroring the reference's
+scripts (main.py / evaluate.py / augment_grids.py) run end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=240):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.run(
+        [sys.executable, "-m"] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_augment_cli(tmp_path):
+    r = run_cli([
+        "gns_tpu.utils", "--case", "9", "--num", "5", "--seed", "1",
+        "--data-dir", str(tmp_path),
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (tmp_path / "case9" / "augmented_case9_0.pkl").exists()
+    assert (tmp_path / "case9" / "prepared_case9.npz").exists()
+
+
+def test_train_cli(tmp_path):
+    data_dir = str(tmp_path / "data")
+    run_cli(["gns_tpu.utils", "--case", "9", "--num", "8", "--seed", "1",
+             "--data-dir", data_dir, "--no-pickles"])
+    r = run_cli([
+        "gns_tpu.train", "--cpu", "--case", "9", "--K", "2", "--latent", "4",
+        "--hidden", "4", "--epochs", "2", "--batch-size", "4",
+        "--nr-samples", "8", "--data-dir", data_dir,
+        "--out-dir", str(tmp_path / "models"),
+        "--runs-dir", str(tmp_path / "runs"), "--export-torch",
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "done; best checkpoint" in r.stdout
+    name = "best_model_c9_K2_L4_H4_True_optimAdam"
+    assert (tmp_path / "models" / name).exists()  # Orbax dir
+    assert (tmp_path / "models" / (name + ".pth")).exists()
+    # CSV metrics written
+    assert (tmp_path / "runs" / (name + ".csv")).exists()
+
+
+def test_eval_cli(tmp_path):
+    r = run_cli([
+        "gns_tpu.eval", "--cpu", "--case", "9", "--K", "2", "--latent", "4",
+        "--hidden", "4", "--samples", "3", "--from-base-case",
+        "--plot", str(tmp_path / "p.png"),
+        "--json-out", str(tmp_path / "m.json"),
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    m = json.loads((tmp_path / "m.json").read_text())
+    assert "v_mse" in m and "theta_centered_mse" in m
+    assert (tmp_path / "p.png").exists()
