@@ -59,7 +59,11 @@ def main():
     from gns_tpu.train.trainer import init_train_state, make_epoch_step
     from gns_tpu.utils.augment import generate_cases
     from gns_tpu.utils.config import GNSConfig
-    from gns_tpu.utils.prepare import GridBatch, batch_from_cases
+    from gns_tpu.utils.prepare import (
+        GridBatch,
+        batch_from_cases,
+        extract_shared_topology,
+    )
 
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
@@ -71,13 +75,14 @@ def main():
         list(generate_cases(args.case, args.batch - 1, seed=0))
     )
     n_edges = batch.lines.shape[1]
+    topo = extract_shared_topology(batch)
     batch = jax.device_put(batch)
     xs = GridBatch(
         *(jnp.broadcast_to(a[None], (args.inner_steps,) + a.shape) for a in batch)
     )
 
     state = init_train_state(jax.random.key(0), cfg)
-    step = make_epoch_step(cfg, method=args.method, donate=False)
+    step = make_epoch_step(cfg, method=args.method, donate=False, topo=topo)
 
     # warm-up: compile + one full execution, barriered by a value fetch.
     state, metrics = step(state, xs)

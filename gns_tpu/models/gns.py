@@ -89,6 +89,87 @@ def init_gns_params(key, cfg: GNSConfig, dtype=jnp.float32):
     }
 
 
+# Head orders of the fused layout. L_theta consumes phi_theta's aggregate,
+# L_v phi_v's, L_m phi_m's (reference: GNS/main.py:165-167).
+PHI_HEADS = ("phi_v", "phi_theta", "phi_m")
+L_HEADS = ("L_theta", "L_v", "L_m")
+_L_TO_PHI_BLOCK = (1, 0, 2)  # phi block index consumed by each L head
+
+
+def _blockdiag(ws):
+    """Stack stacked-K mats (K, a_i, b_i) into (K, sum a_i, sum b_i) block-diag."""
+    k = ws[0].shape[0]
+    ra = sum(w.shape[1] for w in ws)
+    rb = sum(w.shape[2] for w in ws)
+    out = jnp.zeros((k, ra, rb), ws[0].dtype)
+    ia = ib = 0
+    for w in ws:
+        out = out.at[:, ia : ia + w.shape[1], ib : ib + w.shape[2]].set(w)
+        ia += w.shape[1]
+        ib += w.shape[2]
+    return out
+
+
+def fuse_step_params(params, cfg: GNSConfig):
+    """Fold the per-head MLPs into single block MLPs per step.
+
+    The three phi heads see the *same* edge input (main.py:155-159), so
+    their first layers concatenate exactly into one (in, 3H) matmul; the
+    hidden and output layers become block-diagonal. Likewise the three L
+    heads: their inputs share node_base and differ only in which phi
+    aggregate they append (main.py:165-167), which block-structures their
+    first layer over the fused input [node_base | phi_v | phi_theta |
+    phi_m]. Output columns: [theta_up, v_up, m_up(latent)]. The three phi
+    segment-sums also collapse into one (E, 3L) aggregation.
+
+    Zero off-diagonal blocks contribute exact +0.0 to each dot product, so
+    this is numerically identical to the unfused path up to float
+    reassociation of the (longer) contractions. Stored/optimized parameters
+    keep the reference's per-head layout (torch interop, TP shardings);
+    fusion happens on the fly inside the forward trace.
+    """
+    if not cfg.fused_heads:
+        return params
+    lat, hid = cfg.latent_dim, cfg.hidden_dim
+    base = 4 + lat  # node_base width: v, theta, delta_p, delta_q, m
+    cat = jnp.concatenate
+    fused = {}
+    if cfg.multiple_phi:
+        ps = [params[h] for h in PHI_HEADS]
+        fused["phi_fused"] = {
+            "w1": cat([p["w1"] for p in ps], axis=2),
+            "b1": cat([p["b1"] for p in ps], axis=1),
+            "w2": _blockdiag([p["w2"] for p in ps]),
+            "b2": cat([p["b2"] for p in ps], axis=1),
+            "w4": _blockdiag([p["w4"] for p in ps]),
+            "b4": cat([p["b4"] for p in ps], axis=1),
+        }
+    else:
+        fused["phi"] = params["phi"]
+    ls = [params[h] for h in L_HEADS]
+    if cfg.multiple_phi:
+        k = ls[0]["w1"].shape[0]
+        w1 = jnp.zeros((k, base + 3 * lat, 3 * hid), ls[0]["w1"].dtype)
+        for i, (p, blk) in enumerate(zip(ls, _L_TO_PHI_BLOCK)):
+            cols = slice(i * hid, (i + 1) * hid)
+            w1 = w1.at[:, :base, cols].set(p["w1"][:, :base])
+            w1 = w1.at[:, base + blk * lat : base + (blk + 1) * lat, cols].set(
+                p["w1"][:, base:]
+            )
+    else:
+        # single-phi: all three L heads share the identical input.
+        w1 = cat([p["w1"] for p in ls], axis=2)
+    fused["L_fused"] = {
+        "w1": w1,
+        "b1": cat([p["b1"] for p in ls], axis=1),
+        "w2": _blockdiag([p["w2"] for p in ls]),
+        "b2": cat([p["b2"] for p in ls], axis=1),
+        "w4": _blockdiag([p["w4"] for p in ls]),  # cols [theta, v, m...]
+        "b4": cat([p["b4"] for p in ls], axis=1),
+    }
+    return fused
+
+
 def gns_machinery(
     cfg: GNSConfig,
     buses,
@@ -101,6 +182,7 @@ def gns_machinery(
     method: str = "auto",
     precision=None,
     edge_axis: Optional[str] = None,
+    topo=None,
 ):
     """Factor the K-step loop into (init_carry, step, finalize) for one grid.
 
@@ -116,6 +198,12 @@ def gns_machinery(
     boundary-latent exchange of edge-partitioned execution (ICI all-reduce).
     Bus/gen state is replicated across the axis. Requires
     reference_parity=False (see physics/compensation.py).
+
+    topo: optional utils.prepare.GridTopology of batch-invariant
+    (src, dst, gen_idx) index arrays. Under vmap they stay unbatched, so
+    one-hot incidence matrices are built once per program ((N, E) instead
+    of (B, N, E)) and every aggregation lowers to one large MXU
+    contraction over the whole batch.
     """
     if edge_axis is not None and cfg.reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
@@ -128,10 +216,17 @@ def gns_machinery(
     cdt = jnp.dtype(cfg.compute_dtype)
 
     def mlp(block_params, x, keep_dtype: bool = False):
+        prec = precision
+        if prec is None and cdt == jnp.float32:
+            # float32 must mean float32: the TPU MXU's default matmul
+            # precision truncates f32 operands to bf16, which breaks
+            # activation parity vs the reference (~1e-3 v error over K
+            # steps). bf16 compute_dtype keeps the fast single-pass path.
+            prec = jax.lax.Precision.HIGHEST
         if cdt != x.dtype:
             block_params = jax.tree.map(lambda p: p.astype(cdt), block_params)
             x = x.astype(cdt)
-        out = learning_block_apply(block_params, x, cfg.leaky_relu_slope, precision)
+        out = learning_block_apply(block_params, x, cfg.leaky_relu_slope, prec)
         if keep_dtype or cdt == jnp.float32:
             return out
         return out.astype(jnp.float32)
@@ -139,7 +234,11 @@ def gns_machinery(
     latent = cfg.latent_dim
     f32 = buses.dtype
 
-    gen_idx = generators[:, GEN["bus_i"]].astype(jnp.int32) - 1
+    gen_idx = (
+        generators[:, GEN["bus_i"]].astype(jnp.int32) - 1
+        if topo is None
+        else topo.gen_idx
+    )
     gm = gen_mask if gen_mask is not None else jnp.ones(generators.shape[0], f32)
     lm = line_mask if line_mask is not None else jnp.ones(lines.shape[0], f32)
     n_real = (
@@ -149,19 +248,32 @@ def gns_machinery(
     # --- state init (main.py:141-153) ---
     m = jnp.zeros((n, latent), f32)
     theta = jnp.zeros((n,), f32)
+    # One (G,4) aggregation for vg/Pg/qg/gen-count instead of four scatters.
     # Q3: co-located generators *sum* their vg set-points.
-    v = segment_sum(generators[:, GEN["vg"]] * gm, gen_idx, n, method=method)
+    agg0 = segment_sum(
+        jnp.stack(
+            [
+                generators[:, GEN["vg"]] * gm,
+                generators[:, GEN["Pg"]] * gm,
+                generators[:, GEN["qg"]] * gm,
+                gm,
+            ],
+            axis=1,
+        ),
+        gen_idx,
+        n,
+        method=method,
+    )
+    v, pg_bus, qg_bus = agg0[:, 0], agg0[:, 1], agg0[:, 2]
     v = jnp.where(v == 0, jnp.ones_like(v), v)
-    pg_bus = segment_sum(generators[:, GEN["Pg"]] * gm, gen_idx, n, method=method)
-    qg_bus = segment_sum(generators[:, GEN["qg"]] * gm, gen_idx, n, method=method)
     v2 = v * v
     delta_p = pg_bus - buses[:, 2] - buses[:, 4] * v2
     delta_q = qg_bus - buses[:, 3] + buses[:, 5] * v2
 
-    dst = lines[:, 1].astype(jnp.int32) - 1
+    dst = lines[:, 1].astype(jnp.int32) - 1 if topo is None else topo.dst
     line_feats = lines[:, 2:7]
     # PV-freeze mask: buses hosting any (real) generator keep their v.
-    is_gen = segment_sum(gm, gen_idx, n, method=method) > 0
+    is_gen = agg0[:, 3] > 0
 
     bm = bus_mask if bus_mask is not None else None
     lm_col = lm[:, None]
@@ -178,6 +290,7 @@ def gns_machinery(
     def step(carry, xs):
         v, theta, m, delta_p, delta_q, total_loss = carry
         step_params, disc = xs
+        fused = "L_fused" in step_params
 
         edge_in = jnp.concatenate([m[dst], line_feats], axis=1)
         node_base = jnp.concatenate(
@@ -185,37 +298,59 @@ def gns_machinery(
             axis=1,
         )
 
-        def agg_phi(name):
-            # keep bf16 through the masked aggregation (f32 accumulation on
-            # the MXU via preferred_element_type in ops/segment.py)
-            out = mlp(step_params[name], edge_in, keep_dtype=True)
-            agg = segment_sum(out * lm_col.astype(out.dtype), dst, n, method=method)
-            return _psum(agg.astype(jnp.float32))
-
-        if cfg.multiple_phi:
-            in_v = jnp.concatenate([node_base, agg_phi("phi_v")], axis=1)
-            in_theta = jnp.concatenate([node_base, agg_phi("phi_theta")], axis=1)
-            in_m = jnp.concatenate([node_base, agg_phi("phi_m")], axis=1)
-        else:
+        def single_phi_sum():
             phi_out = mlp(step_params["phi"], edge_in)
             if cfg.reference_parity:
                 # Q1: (E,1) messages write only latent column 0.
-                phi_sum = broadcast_col0_segment_sum(
+                return broadcast_col0_segment_sum(
                     phi_out * lm_col, dst, n, latent, method=method
                 )
-            else:
-                # paper-correct: broadcast the scalar message across latent.
-                phi_sum = jnp.broadcast_to(
-                    _psum(
-                        segment_sum(phi_out[:, 0] * lm, dst, n, method=method)
-                    )[:, None],
-                    (n, latent),
-                )
-            in_v = in_theta = in_m = jnp.concatenate([node_base, phi_sum], axis=1)
+            # paper-correct: broadcast the scalar message across latent.
+            return jnp.broadcast_to(
+                _psum(segment_sum(phi_out[:, 0] * lm, dst, n, method=method))[
+                    :, None
+                ],
+                (n, latent),
+            )
 
-        theta_up = mlp(step_params["L_theta"], in_theta)[:, 0]
-        v_up = mlp(step_params["L_v"], in_v)[:, 0]
-        m_up = mlp(step_params["L_m"], in_m)
+        if fused:
+            # Block MLPs from fuse_step_params: one edge matmul chain, ONE
+            # (E, 3·latent) aggregation, one node matmul chain.
+            if cfg.multiple_phi:
+                phi_out = mlp(step_params["phi_fused"], edge_in, keep_dtype=True)
+                agg = segment_sum(
+                    phi_out * lm_col.astype(phi_out.dtype), dst, n, method=method
+                )
+                node_in = jnp.concatenate(
+                    [node_base, _psum(agg.astype(jnp.float32))], axis=1
+                )
+            else:
+                node_in = jnp.concatenate([node_base, single_phi_sum()], axis=1)
+            out = mlp(step_params["L_fused"], node_in)
+            theta_up, v_up, m_up = out[:, 0], out[:, 1], out[:, 2:]
+        else:
+
+            def agg_phi(name):
+                # keep bf16 through the masked aggregation (f32 accumulation
+                # on the MXU via preferred_element_type in ops/segment.py)
+                out = mlp(step_params[name], edge_in, keep_dtype=True)
+                agg = segment_sum(
+                    out * lm_col.astype(out.dtype), dst, n, method=method
+                )
+                return _psum(agg.astype(jnp.float32))
+
+            if cfg.multiple_phi:
+                in_v = jnp.concatenate([node_base, agg_phi("phi_v")], axis=1)
+                in_theta = jnp.concatenate([node_base, agg_phi("phi_theta")], axis=1)
+                in_m = jnp.concatenate([node_base, agg_phi("phi_m")], axis=1)
+            else:
+                in_v = in_theta = in_m = jnp.concatenate(
+                    [node_base, single_phi_sum()], axis=1
+                )
+
+            theta_up = mlp(step_params["L_theta"], in_theta)[:, 0]
+            v_up = mlp(step_params["L_v"], in_v)[:, 0]
+            m_up = mlp(step_params["L_m"], in_m)
 
         theta = theta + theta_up
         v = jnp.where(is_gen, v, v + v_up)  # PV freeze (main.py:184-186)
@@ -227,7 +362,7 @@ def gns_machinery(
             v, theta, buses, lines, generators,
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
-            edge_axis=edge_axis,
+            edge_axis=edge_axis, topo=topo,
         )
         total_loss = total_loss + disc * residual_sums(delta_p, delta_q)
         return (v, theta, m, delta_p, delta_q, total_loss), None
@@ -256,23 +391,33 @@ def gns_forward(
     method: str = "auto",
     precision=None,
     edge_axis: Optional[str] = None,
+    topo=None,
 ) -> GNSOutput:
     """Run K correction steps on one grid. Shapes: (N,6), (E,7), (G,7).
 
-    See gns_machinery for the edge_axis (edge-partitioned execution) story.
+    See gns_machinery for the edge_axis (edge-partitioned execution) and
+    topo (shared-topology fast path) stories.
     """
     init, step, finalize, discounts = gns_machinery(
         cfg, buses, lines, generators, bus_mask, line_mask, gen_mask, n_bus,
-        method=method, precision=precision, edge_axis=edge_axis,
+        method=method, precision=precision, edge_axis=edge_axis, topo=topo,
     )
-    carry, _ = jax.lax.scan(step, init, (params, discounts))
+    carry, _ = jax.lax.scan(step, init, (fuse_step_params(params, cfg), discounts))
     return finalize(carry)
 
 
-def gns_forward_batch(params, cfg: GNSConfig, batch, method: str = "auto", precision=None):
-    """vmap the forward over a GridBatch -> batched GNSOutput."""
+def gns_forward_batch(
+    params, cfg: GNSConfig, batch, method: str = "auto", precision=None, topo=None
+):
+    """vmap the forward over a GridBatch -> batched GNSOutput.
+
+    topo (utils.prepare.GridTopology): batch-invariant index arrays, closed
+    over as vmap constants — see gns_machinery. Use
+    utils.prepare.extract_shared_topology(batch) on host data to obtain it.
+    """
     fn = lambda b, l, g, bm, lm, gm, nb: gns_forward(
-        params, cfg, b, l, g, bm, lm, gm, nb, method=method, precision=precision
+        params, cfg, b, l, g, bm, lm, gm, nb,
+        method=method, precision=precision, topo=topo,
     )
     return jax.vmap(fn)(
         batch.buses,

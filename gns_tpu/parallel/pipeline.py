@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gns_tpu.models.gns import GNSOutput, gns_machinery
+from gns_tpu.models.gns import GNSOutput, fuse_step_params, gns_machinery
 from gns_tpu.utils.config import GNSConfig
 from gns_tpu.utils.prepare import GridBatch
 
@@ -80,9 +80,11 @@ def make_pipelined_forward(
             init, _, _, _ = grid_machinery(b, l, g, bm, lm, gm, nb)
             return init
 
+        fused_local = fuse_step_params(params_local, cfg)
+
         def stage_one(carry, b, l, g, bm, lm, gm, nb):
             _, step, _, _ = grid_machinery(b, l, g, bm, lm, gm, nb)
-            carry, _ = jax.lax.scan(step, carry, (params_local, discounts))
+            carry, _ = jax.lax.scan(step, carry, (fused_local, discounts))
             return carry
 
         def final_one(carry, b, l, g, bm, lm, gm, nb):

@@ -26,9 +26,14 @@ class EdgeGeom(NamedTuple):
     shift: jnp.ndarray  # phase shift, radians
 
 
-def edge_geometry(lines) -> EdgeGeom:
-    src = lines[:, LINE["f_bus"]].astype(jnp.int32) - 1
-    dst = lines[:, LINE["t_bus"]].astype(jnp.int32) - 1
+def edge_geometry(lines, src=None, dst=None) -> EdgeGeom:
+    """Per-line quantities; src/dst override the bus indices derived from
+    `lines` (used by the shared-topology fast path, where the index arrays
+    are batch-invariant constants rather than per-grid data)."""
+    if src is None:
+        src = lines[:, LINE["f_bus"]].astype(jnp.int32) - 1
+    if dst is None:
+        dst = lines[:, LINE["t_bus"]].astype(jnp.int32) - 1
     r = lines[:, LINE["r"]]
     x = lines[:, LINE["x"]]
     z2 = r * r + x * x

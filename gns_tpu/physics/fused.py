@@ -50,9 +50,13 @@ def physics_refresh(
     gen_mask: Optional[jnp.ndarray] = None,
     method: str = "auto",
     edge_axis: Optional[str] = None,
+    topo=None,
 ):
     """One-pass equivalent of global_active_compensation followed by
     local_power_imbalance(.., pg_new, qg_new, ..).
+
+    topo: optional (src, dst, gen_idx) batch-invariant index arrays
+    (utils.prepare.GridTopology) — the shared-topology fast path.
 
     Returns (pg_new (G,), qg_new (N,), delta_p (N,), delta_q (N,)).
     """
@@ -63,7 +67,11 @@ def physics_refresh(
         return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
 
     n = buses.shape[0]
-    geom = edge_geometry(lines)
+    geom = edge_geometry(
+        lines,
+        src=None if topo is None else topo[0],
+        dst=None if topo is None else topo[1],
+    )
     src, dst = geom.src, geom.dst
     lm = line_mask if line_mask is not None else 1.0
 
@@ -145,7 +153,9 @@ def physics_refresh(
     qg_new = qg_start - q_sum
 
     # ---- local imbalance (main.py:81-103) with qg_k = qg_new ----
-    gen_bus = gens[:, GEN["bus_i"]].astype(jnp.int32) - 1
+    gen_bus = (
+        gens[:, GEN["bus_i"]].astype(jnp.int32) - 1 if topo is None else topo[2]
+    )
     pg = pg_new * gen_mask if gen_mask is not None else pg_new
     pg_bus = segment_sum(pg, gen_bus, n, method=method)
     delta_p = pg_bus - pd - gs * v2 + p_sum

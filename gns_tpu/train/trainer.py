@@ -19,7 +19,7 @@ import optax
 
 from gns_tpu.models.gns import gns_forward_batch, init_gns_params
 from gns_tpu.utils.config import GNSConfig
-from gns_tpu.utils.prepare import GridBatch
+from gns_tpu.utils.prepare import GridBatch, extract_shared_topology
 
 
 class TrainState(NamedTuple):
@@ -53,6 +53,7 @@ def make_train_step(
     optimizer: Optional[optax.GradientTransformation] = None,
     method: str = "auto",
     donate: bool = True,
+    topo=None,
 ) -> Callable:
     """Build the jitted update step: (TrainState, GridBatch) -> (TrainState, metrics).
 
@@ -63,7 +64,7 @@ def make_train_step(
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, batch: GridBatch):
-        out = gns_forward_batch(params, cfg, batch, method=method)
+        out = gns_forward_batch(params, cfg, batch, method=method, topo=topo)
         return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
 
     def step_fn(state: TrainState, batch: GridBatch):
@@ -85,6 +86,7 @@ def make_epoch_step(
     optimizer: Optional[optax.GradientTransformation] = None,
     method: str = "auto",
     donate: bool = True,
+    topo=None,
 ) -> Callable:
     """Device-side epoch: one dispatch runs a lax.scan of update steps over
     a stacked batch axis.
@@ -99,7 +101,7 @@ def make_epoch_step(
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, batch: GridBatch):
-        out = gns_forward_batch(params, cfg, batch, method=method)
+        out = gns_forward_batch(params, cfg, batch, method=method, topo=topo)
         return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
 
     def one_step(state: TrainState, batch: GridBatch):
@@ -133,11 +135,11 @@ def stack_epoch(data: GridBatch, batch_size: int) -> GridBatch:
     )
 
 
-def make_eval_step(cfg: GNSConfig, method: str = "auto") -> Callable:
+def make_eval_step(cfg: GNSConfig, method: str = "auto", topo=None) -> Callable:
     """Jitted inference: (params, GridBatch) -> batched GNSOutput."""
 
     def fn(params, batch: GridBatch):
-        return gns_forward_batch(params, cfg, batch, method=method)
+        return gns_forward_batch(params, cfg, batch, method=method, topo=topo)
 
     return jax.jit(fn)
 
@@ -167,7 +169,10 @@ def train(
     bs = min(cfg.batch_size, n)
     # One dispatch per epoch: scan the update step over the batch axis
     # device-side (per-batch dispatch would dominate on the remote TPU).
-    epoch_step = make_epoch_step(cfg, method=method)
+    # Augmented single-case datasets share one topology: exploit it so every
+    # edge aggregation is one whole-batch MXU contraction.
+    topo = extract_shared_topology(data)
+    epoch_step = make_epoch_step(cfg, method=method, topo=topo)
     stacked = stack_epoch(data, bs)
 
     best_loss = float("inf")

@@ -58,6 +58,12 @@ class GNSConfig:
     # stage); state updates and physics stay float32. Not parity-grade —
     # use float32 with reference_parity.
     compute_dtype: str = "float32"
+    # Fold the three phi heads (shared edge input) and the three L heads
+    # into single block MLPs per step: 3x fewer matmul/segment-sum ops on
+    # the op-count-bound TPU step. Exact up to float reassociation (the
+    # off-diagonal weight blocks are zeros). See models/gns.py
+    # fuse_step_params.
+    fused_heads: bool = True
 
     @property
     def lr(self) -> float:

@@ -117,6 +117,45 @@ class GridBatch(NamedTuple):
         return GridBatch(*(a[idx] for a in self))
 
 
+class GridTopology(NamedTuple):
+    """Shared (batch-invariant) graph topology: 0-based index arrays.
+
+    The augmentation perturbs parameters, never topology (reference:
+    GNS/augment_grids.py:25-54), so every augmented grid of one case shares
+    src/dst/gen placement. Passing this to the forward makes each edge
+    aggregation a single (N,E) one-hot contraction against the whole
+    (B, E, D) batch — one big MXU matmul — instead of B independent ones
+    with a (B, N, E) one-hot tensor (the memory/throughput cliff at large
+    batch).
+    """
+
+    src: np.ndarray  # (E,) int32 from-bus
+    dst: np.ndarray  # (E,) int32 to-bus
+    gen_idx: np.ndarray  # (G,) int32 generator bus
+
+
+def extract_shared_topology(batch: GridBatch) -> Optional[GridTopology]:
+    """Return the batch's shared topology, or None if grids differ.
+
+    Host-side (numpy) check — call it on concrete data before building the
+    jitted step, not inside a trace.
+    """
+    f_bus = np.asarray(batch.lines[..., 0])
+    t_bus = np.asarray(batch.lines[..., 1])
+    g_bus = np.asarray(batch.generators[..., 0])
+    if not (
+        (f_bus == f_bus[:1]).all()
+        and (t_bus == t_bus[:1]).all()
+        and (g_bus == g_bus[:1]).all()
+    ):
+        return None
+    return GridTopology(
+        src=f_bus[0].astype(np.int32) - 1,
+        dst=t_bus[0].astype(np.int32) - 1,
+        gen_idx=g_bus[0].astype(np.int32) - 1,
+    )
+
+
 def _stack_to_batch(triples, pad_sizes=None) -> GridBatch:
     """Stack prepared (buses, lines, gens) triples into a GridBatch.
 
