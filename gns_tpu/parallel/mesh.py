@@ -52,6 +52,43 @@ def make_mesh(
     return Mesh(np.array(devices).reshape(dp, gp), axis_names)
 
 
+def make_hybrid_mesh(
+    dcn: Optional[int] = None,
+    dp: Optional[int] = None,
+    gp: int = 1,
+    devices: Optional[Sequence] = None,
+    axis_names: Tuple[str, str, str] = ("dcn", "dp", "gp"),
+) -> Mesh:
+    """Hybrid multi-host mesh: outer 'dcn' axis across hosts, inner
+    ('dp', 'gp') axes across each host's chips over ICI.
+
+    Shard the batch over the combined ('dcn', 'dp') axes
+    (PartitionSpec(("dcn", "dp"), ...)) so the gradient all-reduce
+    decomposes into a cheap intra-host ICI reduce-scatter/all-gather plus
+    one small inter-host DCN all-reduce of the (tiny) parameter gradients;
+    keep 'gp' (edge partition / boundary exchange) strictly inside a host
+    so its per-K-step collectives never cross DCN.
+
+    dcn defaults to jax.process_count(); dp to local chips // gp. On a
+    multi-process run the device order groups each process's local chips
+    together, which jax.devices() already guarantees.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dcn is None:
+        dcn = max(jax.process_count(), 1)
+    if n % dcn:
+        raise ValueError(f"{n} devices not divisible by dcn={dcn}")
+    per_host = n // dcn
+    if dp is None:
+        if per_host % gp:
+            raise ValueError(f"{per_host} per-host devices not divisible by gp={gp}")
+        dp = per_host // gp
+    if dcn * dp * gp != n:
+        raise ValueError(f"mesh {dcn}x{dp}x{gp} != {n} devices")
+    return Mesh(np.array(devices).reshape(dcn, dp, gp), axis_names)
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host init (DCN). No-op when single-process."""
     if jax.process_count() > 1:

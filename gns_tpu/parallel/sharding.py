@@ -31,8 +31,14 @@ from gns_tpu.utils.config import GNSConfig
 from gns_tpu.utils.prepare import GridBatch
 
 
-def batch_sharding(mesh: Mesh, dp: str = "dp", gp: Optional[str] = "gp"):
-    """Per-field NamedShardings for a GridBatch on `mesh`."""
+def batch_sharding(mesh: Mesh, dp="dp", gp: Optional[str] = "gp"):
+    """Per-field NamedShardings for a GridBatch on `mesh`.
+
+    dp may be a single axis name or a tuple of names — e.g. ("dcn", "dp")
+    on a hybrid multi-host mesh (parallel.mesh.make_hybrid_mesh), which
+    shards the batch across hosts and intra-host chips at once while 'gp'
+    stays inside a host.
+    """
     ns = lambda *spec: NamedSharding(mesh, P(*spec))
     return GridBatch(
         buses=ns(dp, None, None),
@@ -45,7 +51,7 @@ def batch_sharding(mesh: Mesh, dp: str = "dp", gp: Optional[str] = "gp"):
     )
 
 
-def shard_batch(batch: GridBatch, mesh: Mesh, dp: str = "dp", gp: Optional[str] = "gp") -> GridBatch:
+def shard_batch(batch: GridBatch, mesh: Mesh, dp="dp", gp: Optional[str] = "gp") -> GridBatch:
     """Place a host GridBatch onto the mesh with the canonical layout.
 
     Pads nothing: batch size must divide the dp axis size and the edge
@@ -67,8 +73,9 @@ def make_sharded_train_step(
     mesh: Mesh,
     optimizer=None,
     method: str = "auto",
-    dp: str = "dp",
+    dp="dp",
     gp: Optional[str] = "gp",
+    topo=None,
 ):
     """Jitted train step with explicit input/output shardings on `mesh`."""
     optimizer = optimizer or make_optimizer(cfg)
@@ -76,7 +83,7 @@ def make_sharded_train_step(
     b_shard = batch_sharding(mesh, dp, gp)
 
     def loss_fn(params, batch: GridBatch):
-        out = gns_forward_batch(params, cfg, batch, method=method)
+        out = gns_forward_batch(params, cfg, batch, method=method, topo=topo)
         return out.total_loss.mean(), out.last_loss.mean()
 
     def step_fn(state: TrainState, batch: GridBatch):
@@ -102,13 +109,14 @@ def make_sharded_eval_step(
     cfg: GNSConfig,
     mesh: Mesh,
     method: str = "auto",
-    dp: str = "dp",
+    dp="dp",
     gp: Optional[str] = "gp",
+    topo=None,
 ):
     b_shard = batch_sharding(mesh, dp, gp)
     repl = NamedSharding(mesh, P())
 
     def fn(params, batch: GridBatch):
-        return gns_forward_batch(params, cfg, batch, method=method)
+        return gns_forward_batch(params, cfg, batch, method=method, topo=topo)
 
     return jax.jit(fn, in_shardings=(repl, b_shard))

@@ -58,7 +58,7 @@ def main():
     from gns_tpu.train.trainer import init_train_state
     from gns_tpu.utils.augment import generate_cases
     from gns_tpu.utils.config import GNSConfig
-    from gns_tpu.utils.prepare import batch_from_cases
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
 
     n_dev = len(jax.devices())
     cfg = GNSConfig(
@@ -88,7 +88,9 @@ def main():
             continue
         mesh = make_mesh(dp=dp, gp=gp, devices=jax.devices()[: dp * gp])
         state = replicate(init_train_state(jax.random.key(0), cfg), mesh)
-        step = make_sharded_train_step(cfg, mesh, method="onehot")
+        step = make_sharded_train_step(
+            cfg, mesh, method="onehot", topo=extract_shared_topology(base)
+        )
         batch = shard_batch(base, mesh)
         state, m = step(state, batch)
         jax.block_until_ready(m["loss"])
