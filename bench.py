@@ -47,6 +47,8 @@ def main():
     # f32); use --compute-dtype float32 for parity-grade numerics.
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize each K step in the backward pass")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -69,7 +71,7 @@ def main():
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True, batch_size=args.batch,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=args.compute_dtype, remat=args.remat,
         reference_parity=(args.compute_dtype == "float32"),
     )
     batch = batch_from_cases(

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from gns_tpu.models.blocks import init_learning_block, learning_block_apply
 from gns_tpu.ops import segment_sum
-from gns_tpu.ops.segment import broadcast_col0_segment_sum
+from gns_tpu.ops.segment import broadcast_col0_segment_sum, gather
 from gns_tpu.physics.fused import physics_refresh
 from gns_tpu.utils.config import GNSConfig
 from gns_tpu.utils.schema import GEN
@@ -277,6 +277,7 @@ def gns_machinery(
 
     bm = bus_mask if bus_mask is not None else None
     lm_col = lm[:, None]
+    gmethod = cfg.gather_method  # see ops/segment.py and config.py
 
     # Per-step discount weights gamma^(K-k), k = 0..K-1 (main.py:198).
     discounts = cfg.gamma ** (cfg.K - jnp.arange(cfg.K, dtype=f32))
@@ -292,7 +293,9 @@ def gns_machinery(
         step_params, disc = xs
         fused = "L_fused" in step_params
 
-        edge_in = jnp.concatenate([m[dst], line_feats], axis=1)
+        # gather via one-hot matmul on TPU so the VJP stays scatter-free
+        # (a take VJP lowers to XLA scatter — 6x slower backward, measured)
+        edge_in = jnp.concatenate([gather(m, dst, method=gmethod), line_feats], axis=1)
         node_base = jnp.concatenate(
             [v[:, None], theta[:, None], delta_p[:, None], delta_q[:, None], m],
             axis=1,
@@ -362,7 +365,7 @@ def gns_machinery(
             v, theta, buses, lines, generators,
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
-            edge_axis=edge_axis, topo=topo,
+            edge_axis=edge_axis, topo=topo, gather_method=gmethod,
         )
         total_loss = total_loss + disc * residual_sums(delta_p, delta_q)
         return (v, theta, m, delta_p, delta_q, total_loss), None
@@ -402,6 +405,8 @@ def gns_forward(
         cfg, buses, lines, generators, bus_mask, line_mask, gen_mask, n_bus,
         method=method, precision=precision, edge_axis=edge_axis, topo=topo,
     )
+    if cfg.remat:
+        step = jax.checkpoint(step)
     carry, _ = jax.lax.scan(step, init, (fuse_step_params(params, cfg), discounts))
     return finalize(carry)
 

@@ -54,7 +54,7 @@ def ones_mask(n: int, dtype=jnp.float32):
     return jnp.ones((n,), dtype=dtype)
 
 
-def branch_flows(v, theta, geom: EdgeGeom):
+def branch_flows(v, theta, geom: EdgeGeom, gather_method: str = "take"):
     """Textbook AC branch power flows (paper-correct mode).
 
     Returns per-line (p_f, q_f, p_t, q_t): active/reactive power flowing
@@ -62,10 +62,18 @@ def branch_flows(v, theta, geom: EdgeGeom):
     admittance g + j b, charging b_chg, tap tau (from side) and shift.
     Used when `reference_parity=False`; the parity mode reproduces the
     reference's formulas verbatim instead (see compensation.py/imbalance.py).
+    gather_method='onehot' keeps the bus->edge gathers' VJPs scatter-free
+    on TPU (ops/segment.py gather).
     """
-    vf = v[geom.src] / geom.tau
-    vt = v[geom.dst]
-    th = theta[geom.src] - theta[geom.dst] - geom.shift
+    from gns_tpu.ops.segment import gather
+
+    # One (N,2) gather for v and theta instead of four vector gathers.
+    vth = jnp.stack([v, theta], axis=1)
+    at_src = gather(vth, geom.src, method=gather_method)
+    at_dst = gather(vth, geom.dst, method=gather_method)
+    vf = at_src[:, 0] / geom.tau
+    vt = at_dst[:, 0]
+    th = at_src[:, 1] - at_dst[:, 1] - geom.shift
     c, s = jnp.cos(th), jnp.sin(th)
     g, b = geom.g, geom.b_series
     bc2 = geom.b_chg / 2.0

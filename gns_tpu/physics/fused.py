@@ -51,6 +51,7 @@ def physics_refresh(
     method: str = "auto",
     edge_axis: Optional[str] = None,
     topo=None,
+    gather_method: str = "take",
 ):
     """One-pass equivalent of global_active_compensation followed by
     local_power_imbalance(.., pg_new, qg_new, ..).
@@ -74,6 +75,7 @@ def physics_refresh(
     )
     src, dst = geom.src, geom.dst
     lm = line_mask if line_mask is not None else 1.0
+    gmethod = gather_method
 
     v2 = v * v
     pd = buses[:, BUS["Pd"]]
@@ -82,9 +84,15 @@ def physics_refresh(
     bs = buses[:, BUS["Bs"]]
 
     if reference_parity:
+        from gns_tpu.ops.segment import gather
+
         # ---- shared Q2 gathers (bus-id indexing into per-line arrays) ----
-        v_s, v_d = v[src], v[dst]
-        th_sd = theta[src] - theta[dst]  # (E,)
+        # bus->edge gathers via one-hot matmul (scatter-free VJP on TPU)
+        vth = jnp.stack([v, theta], axis=1)
+        at_src = gather(vth, src, method=gmethod)
+        at_dst = gather(vth, dst, method=gmethod)
+        v_s, v_d = at_src[:, 0], at_dst[:, 0]
+        th_sd = at_src[:, 1] - at_dst[:, 1]  # (E,)
         delta = th_sd
         delta_ji = -th_sd
         y_s, d_s = geom.y[src], delta[src]
@@ -119,7 +127,7 @@ def physics_refresh(
         q_from = -vv_s * cos_angs + (v_s / tau_s) ** 2 * (y_s * cos_ds - b_s / 2)
         q_to = -vv_d * cos_angd + v_d**2 * (y_d * sin_djd - b_d / 2)
     else:
-        p_f, q_f, p_t, q_t = branch_flows(v, theta, geom)
+        p_f, q_f, p_t, q_t = branch_flows(v, theta, geom, gather_method=gmethod)
         p_joule = _psum(jnp.sum((p_f + p_t) * lm))
         # sign conventions of the unfused paper path: flows INTO the line
         p_from, p_to = -p_f, -p_t  # imbalance subtracts line draw

@@ -64,6 +64,20 @@ class GNSConfig:
     # off-diagonal weight blocks are zeros). See models/gns.py
     # fuse_step_params.
     fused_heads: bool = True
+    # Lowering of bus->edge gathers (ops/segment.py gather): 'take'
+    # (jnp.take; VJP is an XLA scatter), 'onehot' (G(E,N) @ data matmul;
+    # VJP is the transposed matmul, scatter-free), or 'auto' (onehot on
+    # TPU, take elsewhere). Interleaved A/B on the headline train step:
+    # onehot 145.7 vs take 128.6 M edges/s (+13%) — the take-VJP scatters
+    # serialize in the backward pass.
+    gather_method: str = "auto"
+    # Rematerialize each correction step in the backward pass
+    # (jax.checkpoint around the scanned step): the backward then reads
+    # only the small per-step carry (v, theta, m, dp, dq) from HBM and
+    # recomputes edge activations on the fly — trading cheap MXU FLOPs for
+    # HBM bandwidth, the standard TPU recipe when activations dominate
+    # memory traffic.
+    remat: bool = False
 
     @property
     def lr(self) -> float:
