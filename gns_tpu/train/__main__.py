@@ -14,6 +14,11 @@ import jax
 def main():
     p = argparse.ArgumentParser(description="Train a GNS model")
     p.add_argument("--case", type=int, default=14)
+    p.add_argument("--cases", type=int, nargs="+", default=None,
+                   help="mega-batch mode: train one model on a mix of cases "
+                        "(e.g. --cases 9 14 30) padded to a common bucket "
+                        "(BASELINE config #5). Overrides --case; grids are "
+                        "generated on the fly with --seed.")
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--latent", type=int, default=20)
     p.add_argument("--hidden", type=int, default=10)
@@ -54,11 +59,35 @@ def main():
         reference_parity=not args.paper_physics,
     )
 
-    try:
-        data = load_prepared(args.case, cfg.nr_samples, data_dir=args.data_dir)
-    except FileNotFoundError:
-        data = load_all_grids(args.case, cfg.nr_samples, data_dir=args.data_dir)
-    print(f"loaded {data.batch_size} case{args.case} grids; devices: {jax.devices()}")
+    if args.cases:
+        # Mixed-case mega-batch: equal share of augmented grids per case,
+        # padded to one static bucket (masks keep padding out of the loss).
+        import numpy as np
+
+        from gns_tpu.utils.augment import generate_cases
+        from gns_tpu.utils.prepare import batch_from_cases
+
+        per = max(1, cfg.nr_samples // len(args.cases))
+        mixed = []
+        for i, c in enumerate(args.cases):
+            mixed += list(generate_cases(c, per, seed=cfg.seed + i))[1:]
+        data = batch_from_cases(mixed)
+        # interleave cases so every batch sees the full mix
+        order = np.random.default_rng(cfg.seed).permutation(data.batch_size)
+        from gns_tpu.utils.prepare import GridBatch
+
+        data = GridBatch(*(np.asarray(a)[order] for a in data))
+        print(
+            f"mega-batch: {data.batch_size} grids from cases {args.cases}, "
+            f"bucket N={data.buses.shape[1]} E={data.lines.shape[1]}; "
+            f"devices: {jax.devices()}"
+        )
+    else:
+        try:
+            data = load_prepared(args.case, cfg.nr_samples, data_dir=args.data_dir)
+        except FileNotFoundError:
+            data = load_all_grids(args.case, cfg.nr_samples, data_dir=args.data_dir)
+        print(f"loaded {data.batch_size} case{args.case} grids; devices: {jax.devices()}")
 
     name = checkpoint_name(cfg)
     os.makedirs(args.out_dir, exist_ok=True)

@@ -61,3 +61,17 @@ def test_eval_cli(tmp_path):
     m = json.loads((tmp_path / "m.json").read_text())
     assert "v_mse" in m and "theta_centered_mse" in m
     assert (tmp_path / "p.png").exists()
+
+
+def test_train_cli_megabatch(tmp_path):
+    """Mixed-case mega-batch training (BASELINE config #5) from the CLI."""
+    r = run_cli([
+        "gns_tpu.train", "--cpu", "--cases", "9", "14", "--K", "2",
+        "--latent", "4", "--hidden", "4", "--epochs", "2",
+        "--batch-size", "4", "--nr-samples", "8", "--paper-physics",
+        "--out-dir", str(tmp_path / "models"),
+        "--runs-dir", str(tmp_path / "runs"),
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "mega-batch: " in r.stdout
+    assert "done; best checkpoint" in r.stdout
