@@ -277,7 +277,16 @@ def gns_machinery(
 
     bm = bus_mask if bus_mask is not None else None
     lm_col = lm[:, None]
-    gmethod = cfg.gather_method  # see ops/segment.py and config.py
+    # Gather lowering (ops/segment.py): measured on the headline step,
+    # one-hot wins under a rolled K-scan (145.7 vs 128.6 M edges/s — the
+    # take-VJP scatters serialize), but take wins once the scan is
+    # unrolled (197 vs 187 — XLA fuses the scatters across steps).
+    gmethod = cfg.gather_method
+    if gmethod == "auto":
+        rolled = cfg.resolved_scan_unroll == 1
+        gmethod = (
+            "onehot" if (rolled and jax.default_backend() == "tpu") else "take"
+        )
 
     # Per-step discount weights gamma^(K-k), k = 0..K-1 (main.py:198).
     discounts = cfg.gamma ** (cfg.K - jnp.arange(cfg.K, dtype=f32))
@@ -407,7 +416,12 @@ def gns_forward(
     )
     if cfg.remat:
         step = jax.checkpoint(step)
-    carry, _ = jax.lax.scan(step, init, (fuse_step_params(params, cfg), discounts))
+    carry, _ = jax.lax.scan(
+        step,
+        init,
+        (fuse_step_params(params, cfg), discounts),
+        unroll=cfg.resolved_scan_unroll,
+    )
     return finalize(carry)
 
 

@@ -66,11 +66,22 @@ class GNSConfig:
     fused_heads: bool = True
     # Lowering of bus->edge gathers (ops/segment.py gather): 'take'
     # (jnp.take; VJP is an XLA scatter), 'onehot' (G(E,N) @ data matmul;
-    # VJP is the transposed matmul, scatter-free), or 'auto' (onehot on
-    # TPU, take elsewhere). Interleaved A/B on the headline train step:
-    # onehot 145.7 vs take 128.6 M edges/s (+13%) — the take-VJP scatters
-    # serialize in the backward pass.
+    # VJP is the transposed matmul, scatter-free), or 'auto': pick by
+    # backend and scan mode (see models/gns.py — the winner flips with
+    # scan unrolling).
     gather_method: str = "auto"
+    # Unroll factor of the K-step lax.scan. 0 = auto: fully unroll when
+    # K <= 12, else rolled. Unrolling lets XLA fuse across correction
+    # steps — measured +30% training throughput at K=4 (189 vs 145 M
+    # edges/s) — at the cost of code size / compile time, which is why
+    # deep-K configs stay rolled by default.
+    scan_unroll: int = 0
+
+    @property
+    def resolved_scan_unroll(self) -> int:
+        if self.scan_unroll > 0:
+            return self.scan_unroll
+        return self.K if self.K <= 12 else 1
     # Rematerialize each correction step in the backward pass
     # (jax.checkpoint around the scanned step): the backward then reads
     # only the small per-step carry (v, theta, m, dp, dq) from HBM and
