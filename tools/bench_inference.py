@@ -1,0 +1,89 @@
+"""Batched inference (serving) throughput: grids/s per chip.
+
+The eval harness times per-grid jitted latency, which on this machine is
+dominated by the ~40 ms remote-relay round trip. Production serving
+batches requests: this bench runs the jitted batched forward (shared
+topology, bf16) over B augmented grids per dispatch, scanned
+`--inner-steps` times device-side, barriered by a host value fetch —
+the same honest methodology as bench.py.
+
+Prints one JSON line per case:
+  {"case": N, "batch": B, "grids_per_sec": ..., "edges_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, nargs="+", default=[14, 118, 300])
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--inner-steps", type=int, default=64)
+    ap.add_argument("--pretrained", action="store_true", default=True,
+                    help="use the shipped checkpoints (default)")
+    ap.add_argument("--random-init", dest="pretrained", action="store_false")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gns_tpu.models.gns import gns_forward_batch, init_gns_params
+    from gns_tpu.models.pretrained import load_pretrained
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
+
+    for case in args.cases:
+        if args.pretrained:
+            params, cfg = load_pretrained(case)
+        else:
+            cfg = GNSConfig(case_nr=case)
+            params = init_gns_params(jax.random.key(0), cfg)
+        cfg = cfg.replace(compute_dtype="bfloat16", reference_parity=False)
+        batch = batch_from_cases(
+            list(generate_cases(case, args.batch - 1, seed=7))
+        )
+        topo = extract_shared_topology(batch)
+        batch = jax.device_put(batch)
+        n_edges = batch.lines.shape[1]
+
+        @jax.jit
+        def infer_scan(params, batch):
+            def body(c, _):
+                # Thread the carry into the input so XLA cannot hoist the
+                # (otherwise loop-invariant) forward out of the scan: the
+                # perturbation is 1e-30-scale, numerically invisible.
+                b = batch._replace(buses=batch.buses * (1.0 + c * 1e-30))
+                out = gns_forward_batch(
+                    params, cfg, b, method="onehot", topo=topo
+                )
+                return out.v.mean() + out.theta.mean(), None
+            s, _ = jax.lax.scan(
+                body, jnp.float32(0), None, length=args.inner_steps
+            )
+            return s
+
+        float(infer_scan(params, batch))  # warm-up + value barrier
+        t0 = time.perf_counter()
+        float(infer_scan(params, batch))
+        dt = (time.perf_counter() - t0) / args.inner_steps
+        print(json.dumps({
+            "case": case,
+            "batch": args.batch,
+            "grids_per_sec": round(args.batch / dt, 1),
+            "edges_per_sec": round(args.batch * n_edges * cfg.K / dt, 1),
+            "latency_ms_per_batch": round(dt * 1e3, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
