@@ -18,6 +18,14 @@ gather and the aggregation use the same VMEM-built one-hot incidence
 The custom VJP recomputes the edge stage with plain jnp ops (rematerialized
 backward) — at these sizes recompute is cheaper than saving E-sized
 residuals to HBM.
+
+Precision note (verified on a real v5e): compiled Mosaic ignores the
+`precision=HIGHEST` request on these dots and truncates f32 operands to
+bf16, so the compiled kernel matches the XLA reference only to ~1e-2
+relative (interpret mode is exact f32). This kernel is an alternative
+lowering, not the production path — the shared-topology one-hot XLA
+lowering (ops/segment.py) is both faster and f32-exact; use that for
+parity-grade numerics.
 """
 
 from __future__ import annotations

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--runs-dir", default="runs")
     p.add_argument("--export-torch", action="store_true",
                    help="also write a reference-layout .pth next to the Orbax checkpoint")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from an Orbax checkpoint directory "
+                        "(params + optimizer state + step counter)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
 
@@ -105,8 +108,15 @@ def main():
                 f"{row['sec']:.2f}s"
             )
 
+        state = None
+        if args.resume:
+            from gns_tpu.train.checkpoint import load_checkpoint
+
+            state = load_checkpoint(args.resume, cfg)
+            print(f"resumed from {args.resume} at step {int(state.step)}")
         best, history = train(
-            cfg, data, method=args.method, log_fn=log_fn, checkpoint_fn=ckpt_fn
+            cfg, data, method=args.method, log_fn=log_fn,
+            checkpoint_fn=ckpt_fn, state=state,
         )
     print(f"done; best checkpoint in {args.out_dir}/{name}")
 

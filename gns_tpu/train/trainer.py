@@ -184,6 +184,18 @@ def train(
         state, metrics = epoch_step(state, stacked)
         epoch_final_loss = float(jnp.mean(metrics["last_loss"]))
         dt = time.perf_counter() - t0
+        # Failure detection: a NaN/Inf loss means the run diverged; the
+        # state is poisoned, so stop and hand back the last good
+        # checkpoint instead of looping to the epoch budget. (The
+        # reference would silently keep training through NaNs.)
+        if epoch_final_loss != epoch_final_loss or epoch_final_loss == float("inf"):
+            history.append(
+                {"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt,
+                 "diverged": True}
+            )
+            if log_fn:
+                log_fn(history[-1])
+            break
         history.append({"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt})
         if log_fn:
             log_fn(history[-1])

@@ -75,3 +75,23 @@ def test_train_cli_megabatch(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert "mega-batch: " in r.stdout
     assert "done; best checkpoint" in r.stdout
+
+
+def test_train_cli_resume(tmp_path):
+    """--resume continues from an Orbax checkpoint (params+opt+step)."""
+    data_dir = str(tmp_path / "data")
+    run_cli(["gns_tpu.utils", "--case", "9", "--num", "8", "--seed", "1",
+             "--data-dir", data_dir, "--no-pickles"])
+    common = [
+        "gns_tpu.train", "--cpu", "--case", "9", "--K", "2", "--latent", "4",
+        "--hidden", "4", "--batch-size", "4", "--nr-samples", "8",
+        "--data-dir", data_dir, "--out-dir", str(tmp_path / "models"),
+        "--runs-dir", str(tmp_path / "runs"),
+    ]
+    r1 = run_cli(common + ["--epochs", "2"])
+    assert r1.returncode == 0, r1.stderr[-800:]
+    name = "best_model_c9_K2_L4_H4_True_optimAdam"
+    ckpt = str(tmp_path / "models" / name)
+    r2 = run_cli(common + ["--epochs", "2", "--resume", ckpt])
+    assert r2.returncode == 0, r2.stderr[-800:]
+    assert "resumed from" in r2.stdout and "at step 4" in r2.stdout
