@@ -78,12 +78,11 @@ def main():
     mesh_cfgs = []
     d = 1
     while d <= n_dev:
-        gp = min(args.gp, d)
-        mesh_cfgs.append((d // gp if d % gp == 0 else d, 1 if d % gp else gp))
+        gp = args.gp if d % args.gp == 0 else 1
+        mesh_cfgs.append((d // gp, gp))
         d *= 2
     base_rate = None
-    for n, gp in mesh_cfgs:
-        dp = n // gp
+    for dp, gp in mesh_cfgs:
         if dp * gp > n_dev or args.batch % dp:
             continue
         mesh = make_mesh(dp=dp, gp=gp, devices=jax.devices()[: dp * gp])
