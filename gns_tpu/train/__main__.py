@@ -63,28 +63,22 @@ def main():
     )
 
     if args.cases:
-        # Mixed-case mega-batch: equal share of augmented grids per case,
-        # padded to one static bucket (masks keep padding out of the loss).
-        import numpy as np
-
+        # Mixed-case training: one model, one dataset (and bucket) per
+        # case — each group keeps its own shapes + shared topology, so
+        # nothing pays the largest case's padding (train_multi).
         from gns_tpu.utils.augment import generate_cases
         from gns_tpu.utils.prepare import batch_from_cases
 
         per = max(1, cfg.nr_samples // len(args.cases))
-        mixed = []
-        for i, c in enumerate(args.cases):
-            mixed += list(generate_cases(c, per, seed=cfg.seed + i))[1:]
-        data = batch_from_cases(mixed)
-        # interleave cases so every batch sees the full mix
-        order = np.random.default_rng(cfg.seed).permutation(data.batch_size)
-        from gns_tpu.utils.prepare import GridBatch
-
-        data = GridBatch(*(np.asarray(a)[order] for a in data))
+        datasets = [
+            batch_from_cases(list(generate_cases(c, per, seed=cfg.seed + i))[1:])
+            for i, c in enumerate(args.cases)
+        ]
         print(
-            f"mega-batch: {data.batch_size} grids from cases {args.cases}, "
-            f"bucket N={data.buses.shape[1]} E={data.lines.shape[1]}; "
-            f"devices: {jax.devices()}"
+            f"mega-batch: {len(datasets)} case groups {args.cases}, "
+            f"{per} grids each; devices: {jax.devices()}"
         )
+        data = None
     else:
         try:
             data = load_prepared(args.case, cfg.nr_samples, data_dir=args.data_dir)
@@ -114,10 +108,18 @@ def main():
 
             state = load_checkpoint(args.resume, cfg)
             print(f"resumed from {args.resume} at step {int(state.step)}")
-        best, history = train(
-            cfg, data, method=args.method, log_fn=log_fn,
-            checkpoint_fn=ckpt_fn, state=state,
-        )
+        if args.cases:
+            from gns_tpu.train.trainer import train_multi
+
+            best, history = train_multi(
+                cfg, datasets, method=args.method, log_fn=log_fn,
+                checkpoint_fn=ckpt_fn, state=state,
+            )
+        else:
+            best, history = train(
+                cfg, data, method=args.method, log_fn=log_fn,
+                checkpoint_fn=ckpt_fn, state=state,
+            )
     print(f"done; best checkpoint in {args.out_dir}/{name}")
 
 

@@ -215,3 +215,79 @@ def train(
             if checkpoint_fn:
                 checkpoint_fn(best_state, epoch, best_loss)
     return best_state, history
+
+
+def train_multi(
+    cfg: GNSConfig,
+    datasets,
+    key=None,
+    method: str = "auto",
+    log_fn: Optional[Callable] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    state: Optional[TrainState] = None,
+):
+    """Train ONE model over several datasets (e.g. one GridBatch per
+    MATPOWER case) with a shared parameter state.
+
+    Each dataset keeps its own (smaller) bucket shape and shared topology,
+    so every group runs the whole-batch MXU fast path and nothing is padded
+    to the largest case — unlike a single mixed mega-bucket, where case9
+    grids pay case300's shapes and the per-grid general path. One epoch =
+    one device-side scan per group; the model is identical across groups
+    (same K/latent/hidden — graph size is data, not architecture).
+
+    Early stop / best-checkpoint track the mean of the groups' epoch
+    losses. Returns (best_state, history); history rows carry per-group
+    losses under "group_losses".
+    """
+    key = key if key is not None else jax.random.key(cfg.seed)
+    if state is None:
+        state = init_train_state(key, cfg)
+
+    steps, stackeds = [], []
+    for data in datasets:
+        bs = min(cfg.batch_size, data.batch_size)
+        steps.append(
+            make_epoch_step(
+                cfg, method=method, topo=extract_shared_topology(data)
+            )
+        )
+        stackeds.append(stack_epoch(data, bs))
+
+    best_loss = float("inf")
+    best_state = state
+    increase_counter = 0
+    history = []
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        group_losses = []
+        for step, stacked in zip(steps, stackeds):
+            state, metrics = step(state, stacked)
+            group_losses.append(float(jnp.mean(metrics["last_loss"])))
+        epoch_final_loss = sum(group_losses) / len(group_losses)
+        dt = time.perf_counter() - t0
+        row = {
+            "epoch": epoch, "final_loss": epoch_final_loss, "sec": dt,
+            "group_losses": group_losses,
+        }
+        if epoch_final_loss != epoch_final_loss or epoch_final_loss == float("inf"):
+            row["diverged"] = True
+            history.append(row)
+            if log_fn:
+                log_fn(row)
+            break
+        history.append(row)
+        if log_fn:
+            log_fn(row)
+
+        if epoch_final_loss >= best_loss:
+            increase_counter += 1
+            if increase_counter > cfg.early_stop_patience:
+                break
+        else:
+            best_loss = epoch_final_loss
+            best_state = jax.device_get(state)
+            increase_counter = 0
+            if checkpoint_fn:
+                checkpoint_fn(best_state, epoch, best_loss)
+    return best_state, history

@@ -78,3 +78,23 @@ def test_torch_interop_roundtrip(tmp_path):
     back = import_torch(path, CFG)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(back.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_train_multi_groups():
+    """train_multi: one model over per-case groups (own buckets + topo)."""
+    from gns_tpu.train.trainer import train_multi
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.prepare import batch_from_cases
+
+    cfg = GNSConfig(K=2, latent_dim=6, hidden_dim=6, epochs=3,
+                    batch_size=4, reference_parity=False, seed=0)
+    datasets = [
+        batch_from_cases(list(generate_cases(9, 4, seed=1))[1:]),
+        batch_from_cases(list(generate_cases(14, 4, seed=2))[1:]),
+    ]
+    best, history = train_multi(cfg, datasets)
+    assert len(history) >= 1
+    assert len(history[0]["group_losses"]) == 2
+    assert all(l == l for l in history[-1]["group_losses"])  # finite
+    # loss should improve over epochs on at least one group
+    assert history[-1]["final_loss"] <= history[0]["final_loss"]
