@@ -16,6 +16,13 @@ residuals (fresh augmentation seed):
   case9 0.0070 | case14 0.0367 | case30 0.0994 | case118 0.0166 |
   case300 0.0343   (each trained in 1-4 min wall; ACCURACY.md's
   101-epoch parity run for context: gns_tpu 0.053, reference 0.062)
+
+Variant checkpoints (tools/train_pretrained_extras.py):
+  "300-deep" (K=8, latent 40): held-out residual 0.0068 — 5x better than
+  the K=4 case300 model, trained in ~7 min.
+  "multi" (one model, all five cases, train_multi round-robin): held-out
+  residuals c9 0.051 / c14 0.081 / c30 0.131 / c118 0.033 / c300 0.064 —
+  a single parameter set within ~2-4x of the per-case specialists.
 """
 
 from __future__ import annotations
@@ -26,21 +33,37 @@ from gns_tpu.utils.config import GNSConfig
 
 _ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "utils", "case_assets")
 
-# case_nr -> (filename, config it was trained at). All five MATPOWER cases
+# key -> (filename, config it was trained at). All five MATPOWER cases
 # ship a checkpoint at the reference's best hyperparameters, each trained
-# on 1024 seeded augmented grids (tools/train_pretrained.py).
+# on 1024 seeded augmented grids (tools/train_pretrained.py). Extra
+# variants (tools/train_pretrained_extras.py):
+#   "300-deep" — the BASELINE config #4 preset (K=8, latent 40), case300.
+#   "multi"    — ONE model trained round-robin over all five cases
+#                (train_multi; per-case buckets + shared topologies).
 _BEST = dict(K=4, latent_dim=20, hidden_dim=10, multiple_phi=True)
 _PRETRAINED = {
     c: (f"pretrained_c{c}_K4_L20_H10.pth", dict(case_nr=c, **_BEST))
     for c in (9, 14, 30, 118, 300)
 }
+_PRETRAINED["300-deep"] = (
+    "pretrained_c300_K8_L40_H10.pth",
+    dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True),
+)
+_PRETRAINED["multi"] = (
+    "pretrained_multi_K4_L20_H10.pth",
+    dict(case_nr=0, **_BEST),
+)
 
 
 def available_cases():
-    """Case numbers with a shipped checkpoint actually present on disk."""
-    return sorted(
-        c for c, (name, _) in _PRETRAINED.items()
+    """Registry keys with a shipped checkpoint actually present on disk
+    (ints for the per-case checkpoints, then string variant names)."""
+    present = [
+        k for k, (name, _) in _PRETRAINED.items()
         if os.path.exists(os.path.join(_ASSET_DIR, name))
+    ]
+    return sorted([k for k in present if isinstance(k, int)]) + sorted(
+        k for k in present if isinstance(k, str)
     )
 
 

@@ -1,0 +1,107 @@
+"""Train the two non-standard shipped checkpoints:
+
+  * case300 "deep" variant — the BASELINE config #4 preset (K=8, latent 40,
+    hidden 10, multi-phi), case300 only.
+  * "multi" — ONE model trained round-robin over all five cases via
+    train_multi (per-case buckets + shared topologies), at the reference's
+    best hyperparameters. A capability the reference cannot express.
+
+Writes reference-layout .pth assets and prints one JSON line each.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ASSET_DIR = os.path.join(REPO, "gns_tpu", "utils", "case_assets")
+
+
+def heldout_residual(params, cfg, case, n=64):
+    import numpy as np
+
+    from gns_tpu.models.gns import gns_forward_batch
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
+
+    held = batch_from_cases(list(generate_cases(case, n, seed=424242))[1:])
+    out = gns_forward_batch(
+        params, cfg.replace(case_nr=case), held, method="auto",
+        topo=extract_shared_topology(held),
+    )
+    return float(np.mean(np.asarray(out.last_loss)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", nargs="+", default=["deep300", "multi"])
+    ap.add_argument("--grids", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--patience", type=int, default=20)
+    args = ap.parse_args()
+
+    from gns_tpu.train.checkpoint import export_torch
+    from gns_tpu.train.trainer import train, train_multi
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import batch_from_cases
+
+    if "deep300" in args.which:
+        cfg = GNSConfig(
+            case_nr=300, K=8, latent_dim=40, hidden_dim=10,
+            multiple_phi=True, reference_parity=True, seed=0,
+            epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128,
+        )
+        data = batch_from_cases(list(generate_cases(300, args.grids, seed=0))[1:])
+        t0 = time.perf_counter()
+        best, history = train(cfg, data)
+        path = os.path.join(ASSET_DIR, "pretrained_c300_K8_L40_H10.pth")
+        export_torch(path, best, cfg)
+        print(json.dumps({
+            "which": "deep300", "epochs_run": len(history),
+            "train_sec": round(time.perf_counter() - t0, 1),
+            "final_train_residual": round(history[-1]["final_loss"], 5),
+            "heldout_residual": round(heldout_residual(best.params, cfg, 300), 5),
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
+    if "multi" in args.which:
+        cases = [9, 14, 30, 118, 300]
+        cfg = GNSConfig(
+            case_nr=0, K=4, latent_dim=20, hidden_dim=10,
+            multiple_phi=True, reference_parity=True, seed=0,
+            epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128,
+        )
+        per = max(8, args.grids // len(cases))
+        datasets = [
+            batch_from_cases(list(generate_cases(c, per, seed=i))[1:])
+            for i, c in enumerate(cases)
+        ]
+        t0 = time.perf_counter()
+        best, history = train_multi(cfg, datasets)
+        path = os.path.join(ASSET_DIR, "pretrained_multi_K4_L20_H10.pth")
+        export_torch(path, best, cfg)
+        print(json.dumps({
+            "which": "multi", "cases": cases, "epochs_run": len(history),
+            "train_sec": round(time.perf_counter() - t0, 1),
+            "final_group_residuals": [
+                round(x, 5) for x in history[-1]["group_losses"]
+            ],
+            "heldout_residuals": {
+                c: round(heldout_residual(best.params, cfg, c, n=32), 5)
+                for c in cases
+            },
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
