@@ -20,9 +20,11 @@ def main():
     p.add_argument("--single-phi", dest="multiple_phi", action="store_false")
     p.add_argument("--samples", type=int, default=128)
     p.add_argument("--checkpoint", default=None,
-                   help="Orbax checkpoint dir, reference .pth file, or the literal "
-                        "'pretrained' for the shipped package checkpoint; "
-                        "random init if omitted")
+                   help="Orbax checkpoint dir, reference .pth file, the literal "
+                        "'pretrained' for the shipped per-case checkpoint, or "
+                        "'pretrained:<key>' for a variant (e.g. "
+                        "pretrained:300-deep, pretrained:multi); random init "
+                        "if omitted")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--total-grids", type=int, default=10001)
     p.add_argument("--from-base-case", action="store_true",
@@ -48,11 +50,21 @@ def main():
         hidden_dim=args.hidden, multiple_phi=args.multiple_phi,
     )
 
-    if args.checkpoint == "pretrained":
+    if args.checkpoint and (
+        args.checkpoint == "pretrained" or args.checkpoint.startswith("pretrained:")
+    ):
         from gns_tpu.models.pretrained import pretrained_config, pretrained_path
 
-        cfg = pretrained_config(args.case)
-        args.checkpoint = pretrained_path(args.case)
+        key = (
+            args.checkpoint.split(":", 1)[1]
+            if ":" in args.checkpoint
+            else args.case
+        )
+        if isinstance(key, str) and key.isdigit():
+            key = int(key)
+        # The 'multi' variant is case-agnostic: evaluate it on --case.
+        cfg = pretrained_config(key).replace(case_nr=args.case)
+        args.checkpoint = pretrained_path(key)
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         from gns_tpu.train.checkpoint import import_torch
 

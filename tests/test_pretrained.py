@@ -46,3 +46,14 @@ def test_pretrained_residual_beats_random(case):
     last = float(np.mean(np.asarray(out.last_loss)))
     ceiling = {9: 1.0, 14: 0.15, 30: 1.0, 118: 5.0, 300: 20.0}[case]
     assert last < ceiling, last
+
+
+def test_variant_checkpoints_load():
+    for key, case in (("300-deep", 300), ("multi", 14)):
+        if key not in available_cases():
+            pytest.skip(f"{key} not shipped")
+        params, cfg = load_pretrained(key)
+        batch = batch_from_cases(list(generate_cases(case, 4, seed=5))[1:])
+        out = gns_forward_batch(params, cfg.replace(case_nr=case), batch)
+        last = float(np.mean(np.asarray(out.last_loss)))
+        assert last == last and last < 1.0, (key, last)
