@@ -49,6 +49,8 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize each K step in the backward pass")
+    p.add_argument("--roofline", action="store_true",
+                   help="print a speed-of-light analysis line after the JSON")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
 
@@ -118,6 +120,12 @@ def main():
             }
         )
     )
+
+    if args.roofline:
+        from gns_tpu.utils.profiling import train_step_roofline
+
+        rl = train_step_roofline(cfg, batch, dt)
+        print(f"# roofline: {rl.summary()}", file=sys.stderr)
 
 
 if __name__ == "__main__":
