@@ -186,8 +186,19 @@ def load_eval_cases(
     """Last nr_eval_samples pickles — the oracle's range (evaluate.py:31)."""
     out = []
     for i in range(total_grids - nr_eval_samples, total_grids):
-        with open(pickle_path(case_nr, i, data_dir), "rb") as f:
-            out.append(pickle.load(f))
+        path = pickle_path(case_nr, i, data_dir)
+        try:
+            with open(path, "rb") as f:
+                out.append(pickle.load(f))
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{path} not found. The NR oracle needs raw case-dict "
+                f"pickles: generate them with `python -m gns_tpu.utils "
+                f"--case {case_nr} --num {total_grids - 1}` (without "
+                f"--no-pickles), pass --total-grids to match a smaller "
+                f"dataset, or use --from-base-case to generate eval grids "
+                f"in memory."
+            ) from None
     return out
 
 
