@@ -67,20 +67,36 @@ def available_cases():
     )
 
 
-def pretrained_path(case_nr: int = 14) -> str:
-    """Absolute path of the shipped .pth for `case_nr` (KeyError if none)."""
-    name, _ = _PRETRAINED[case_nr]
+# Friendly aliases (e.g. the training tool's --which name for the deep
+# case300 variant).
+_ALIASES = {"deep300": "300-deep"}
+
+
+def _lookup(key):
+    key = _ALIASES.get(key, key)
+    try:
+        return _PRETRAINED[key]
+    except KeyError:
+        raise KeyError(
+            f"no pretrained checkpoint {key!r}; available: {available_cases()}"
+        ) from None
+
+
+def pretrained_path(case_nr=14) -> str:
+    """Absolute path of the shipped .pth for a case number or variant key."""
+    name, _ = _lookup(case_nr)
     return os.path.join(_ASSET_DIR, name)
 
 
-def pretrained_config(case_nr: int = 14) -> GNSConfig:
+def pretrained_config(case_nr=14) -> GNSConfig:
     """The GNSConfig the shipped checkpoint was trained at."""
-    _, kw = _PRETRAINED[case_nr]
+    _, kw = _lookup(case_nr)
     return GNSConfig(**kw)
 
 
-def load_pretrained(case_nr: int = 14):
-    """Return (params, cfg) for the shipped checkpoint."""
+def load_pretrained(case_nr=14):
+    """Return (params, cfg) for a shipped checkpoint (case number or
+    variant key such as "300-deep" / "multi")."""
     from gns_tpu.models.import_torch import load_torch_checkpoint
 
     cfg = pretrained_config(case_nr)

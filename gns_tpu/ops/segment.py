@@ -35,19 +35,24 @@ def incidence_matrix(segment_ids, num_segments: int, dtype=jnp.float32):
     return jax.nn.one_hot(segment_ids, num_segments, dtype=dtype, axis=0)
 
 
-def _onehot_segment_sum(data, segment_ids, num_segments):
-    a = incidence_matrix(segment_ids, num_segments, dtype=data.dtype)
+def _onehot_matmul(mat, data, acc_dtype):
+    """mat @ data with the 0/1-matrix precision policy: float32 data needs
+    HIGHEST (multi-pass) or the MXU truncates operands to bf16; bf16 data
+    takes the fast single-pass path with `acc_dtype` accumulation."""
     squeeze = data.ndim == 1
     if squeeze:
         data = data[:, None]
-    # float32 data needs HIGHEST (multi-pass) or the MXU truncates operands
-    # to bf16; bf16 data takes the fast single-pass path with float32
-    # accumulation (preferred_element_type), so sums stay accurate.
     if data.dtype == jnp.float32:
-        out = jnp.matmul(a, data, precision=jax.lax.Precision.HIGHEST)
+        out = jnp.matmul(mat, data, precision=jax.lax.Precision.HIGHEST)
     else:
-        out = jnp.matmul(a, data, preferred_element_type=jnp.float32)
+        out = jnp.matmul(mat, data, preferred_element_type=acc_dtype)
     return out[:, 0] if squeeze else out
+
+
+def _onehot_segment_sum(data, segment_ids, num_segments):
+    a = incidence_matrix(segment_ids, num_segments, dtype=data.dtype)
+    # f32 accumulation keeps bf16-message sums accurate.
+    return _onehot_matmul(a, data, jnp.float32)
 
 
 def segment_sum(
@@ -75,7 +80,7 @@ def segment_sum(
     raise ValueError(f"unknown segment_sum method {method!r}")
 
 
-def gather(data, indices, method: str = "take", num_rows=None):
+def gather(data, indices, method: str = "take"):
     """Row gather `data[indices]` (the transpose of segment_sum).
 
     method:
@@ -97,16 +102,10 @@ def gather(data, indices, method: str = "take", num_rows=None):
         method = "onehot" if jax.default_backend() == "tpu" else "take"
     if method != "onehot":
         return jnp.take(data, indices, axis=0)
-    n = data.shape[0] if num_rows is None else num_rows
-    g = jax.nn.one_hot(indices, n, dtype=data.dtype, axis=-1)
-    squeeze = data.ndim == 1
-    if squeeze:
-        data = data[:, None]
-    if data.dtype == jnp.float32:
-        out = jnp.matmul(g, data, precision=jax.lax.Precision.HIGHEST)
-    else:
-        out = jnp.matmul(g, data, preferred_element_type=data.dtype)
-    return out[:, 0] if squeeze else out
+    g = jax.nn.one_hot(indices, data.shape[0], dtype=data.dtype, axis=-1)
+    # each output row copies exactly one input row, so accumulate in the
+    # data's own dtype (no sum to protect).
+    return _onehot_matmul(g, data, data.dtype)
 
 
 def broadcast_col0_segment_sum(data_col, segment_ids, num_segments, latent_dim, method="auto"):

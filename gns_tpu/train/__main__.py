@@ -87,6 +87,11 @@ def main():
         print(f"loaded {data.batch_size} case{args.case} grids; devices: {jax.devices()}")
 
     name = checkpoint_name(cfg)
+    if args.cases:
+        # A mixed-case model must not masquerade as a per-case specialist:
+        # encode the case list in the filename (c9-14-30, not c14).
+        cases_tag = "c" + "-".join(str(c) for c in args.cases)
+        name = name.replace(f"_c{cfg.case_nr}_", f"_{cases_tag}_", 1)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def ckpt_fn(state, epoch, loss):

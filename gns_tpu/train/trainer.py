@@ -176,7 +176,10 @@ def train(
     stacked = stack_epoch(data, bs)
 
     best_loss = float("inf")
-    best_state = state
+    # Snapshot to host BEFORE the first step: epoch_step donates its input
+    # state, so after one call these device buffers are deleted — a run
+    # that diverges in epoch 0 must still return a usable state.
+    best_state = jax.device_get(state)
     increase_counter = 0
     history = []
     for epoch in range(cfg.epochs):
@@ -188,17 +191,20 @@ def train(
         # state is poisoned, so stop and hand back the last good
         # checkpoint instead of looping to the epoch budget. (The
         # reference would silently keep training through NaNs.)
-        if epoch_final_loss != epoch_final_loss or epoch_final_loss == float("inf"):
-            history.append(
-                {"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt,
-                 "diverged": True}
-            )
-            if log_fn:
-                log_fn(history[-1])
-            break
-        history.append({"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt})
+        diverged = (
+            epoch_final_loss != epoch_final_loss
+            or epoch_final_loss == float("inf")
+        )
+        # 'diverged' is on every row so the CSV logger (whose columns are
+        # fixed by the first row) records it.
+        history.append(
+            {"epoch": epoch, "final_loss": epoch_final_loss, "sec": dt,
+             "diverged": diverged}
+        )
         if log_fn:
             log_fn(history[-1])
+        if diverged:
+            break
 
         # reference main.py:296-304: stop after >patience non-improving epochs
         if epoch_final_loss >= best_loss:
@@ -255,7 +261,9 @@ def train_multi(
         stackeds.append(stack_epoch(data, bs))
 
     best_loss = float("inf")
-    best_state = state
+    # Pre-loop host snapshot: the jitted steps donate their input state
+    # (see train()).
+    best_state = jax.device_get(state)
     increase_counter = 0
     history = []
     for epoch in range(cfg.epochs):
@@ -266,19 +274,19 @@ def train_multi(
             group_losses.append(float(jnp.mean(metrics["last_loss"])))
         epoch_final_loss = sum(group_losses) / len(group_losses)
         dt = time.perf_counter() - t0
+        diverged = (
+            epoch_final_loss != epoch_final_loss
+            or epoch_final_loss == float("inf")
+        )
         row = {
             "epoch": epoch, "final_loss": epoch_final_loss, "sec": dt,
-            "group_losses": group_losses,
+            "group_losses": group_losses, "diverged": diverged,
         }
-        if epoch_final_loss != epoch_final_loss or epoch_final_loss == float("inf"):
-            row["diverged"] = True
-            history.append(row)
-            if log_fn:
-                log_fn(row)
-            break
         history.append(row)
         if log_fn:
             log_fn(row)
+        if diverged:
+            break
 
         if epoch_final_loss >= best_loss:
             increase_counter += 1

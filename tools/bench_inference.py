@@ -48,7 +48,10 @@ def main():
         else:
             cfg = GNSConfig(case_nr=case)
             params = init_gns_params(jax.random.key(0), cfg)
-        cfg = cfg.replace(compute_dtype="bfloat16", reference_parity=False)
+        # bf16 MLP compute only — keep the checkpoint's own physics mode
+        # (the shipped models are trained with reference_parity=True;
+        # flipping it would bench a forward the weights never saw).
+        cfg = cfg.replace(compute_dtype="bfloat16")
         batch = batch_from_cases(
             list(generate_cases(case, args.batch - 1, seed=7))
         )
