@@ -8,7 +8,8 @@ on this environment): the remote-TPU relay acknowledges dispatches and
 `block_until_ready` before device execution completes, so the only
 trustworthy barrier is fetching a result *value* to the host. The timed
 region is whole dispatches bracketed by host value fetches, with enough
-inner steps that device time dwarfs the ~0.5 s tunnel round-trip.
+inner steps that device time dwarfs the ~33 ms fetch round-trip (measured;
+tools/profile_step.py cancels it exactly via two-point calibration).
 
 `vs_baseline` compares against the PyTorch reference measured on this
 machine's CPU with its native sequential-sample training loop
@@ -37,9 +38,9 @@ def main():
     p.add_argument("--latent", type=int, default=20)
     p.add_argument("--hidden", type=int, default=10)
     p.add_argument("--batch", type=int, default=256)
-    p.add_argument("--inner-steps", type=int, default=128,
+    p.add_argument("--inner-steps", type=int, default=512,
                    help="optimizer steps per dispatch (device-side lax.scan); "
-                        "128+ amortizes the ~0.5s relay round-trip to <3%%")
+                        "512 amortizes the ~33ms relay fetch round-trip to <5%%")
     p.add_argument("--repeats", type=int, default=1,
                    help="timed dispatches (each inner-steps long)")
     p.add_argument("--method", default="onehot")
@@ -47,8 +48,9 @@ def main():
     # f32); use --compute-dtype float32 for parity-grade numerics.
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize each K step in the backward pass")
+    p.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
+                   help="rematerialize each K step in the backward pass "
+                        "(auto: on for TPU — see utils/config.py)")
     p.add_argument("--roofline", action="store_true",
                    help="print a speed-of-light analysis line after the JSON")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -73,7 +75,7 @@ def main():
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True, batch_size=args.batch,
-        compute_dtype=args.compute_dtype, remat=args.remat,
+        compute_dtype=args.compute_dtype, remat={"auto": "auto", "on": True, "off": False}[args.remat],
         reference_parity=(args.compute_dtype == "float32"),
     )
     batch = batch_from_cases(

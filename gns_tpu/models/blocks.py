@@ -35,11 +35,18 @@ def init_learning_block(key, dim_in: int, hidden_dim: int, dim_out: int, dtype=j
 
 def learning_block_apply(params, x, negative_slope: float = 0.01, precision=None):
     """Apply the MLP to x (..., dim_in) -> (..., dim_out)."""
+    h = learning_block_hidden(params, x, negative_slope, precision)
+    return jnp.dot(h, params["w4"], precision=precision) + params["b4"]
+
+
+def learning_block_hidden(params, x, negative_slope: float = 0.01, precision=None):
+    """Layers 1-2 only: x (..., dim_in) -> H2 (..., hidden), the activation
+    the output layer projects. Used by the aggregate-then-project fold
+    (models/gns.py), where w4/b4 are folded into the consumer's first layer."""
     h = jnp.dot(x, params["w1"], precision=precision) + params["b1"]
     h = jax.nn.leaky_relu(h, negative_slope)
     h = jnp.dot(h, params["w2"], precision=precision) + params["b2"]
-    h = jax.nn.leaky_relu(h, negative_slope)
-    return jnp.dot(h, params["w4"], precision=precision) + params["b4"]
+    return jax.nn.leaky_relu(h, negative_slope)
 
 
 def param_count(tree) -> int:

@@ -41,7 +41,11 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from gns_tpu.models.blocks import init_learning_block, learning_block_apply
+from gns_tpu.models.blocks import (
+    init_learning_block,
+    learning_block_apply,
+    learning_block_hidden,
+)
 from gns_tpu.ops import segment_sum
 from gns_tpu.ops.segment import broadcast_col0_segment_sum, gather
 from gns_tpu.physics.fused import physics_refresh
@@ -127,23 +131,40 @@ def fuse_step_params(params, cfg: GNSConfig):
     reassociation of the (longer) contractions. Stored/optimized parameters
     keep the reference's per-head layout (torch interop, TP shardings);
     fusion happens on the fly inside the forward trace.
+
+    With cfg.resolved_fold_output (aggregate-then-project; see
+    utils/config.py), the fused phi's OUTPUT layer is additionally folded
+    into the fused L's first layer: the aggregation is linear, so
+        agg((H2 @ W4phi + b4phi) * mask) @ W1a
+          == agg(H2 * mask) @ (W4phi @ W1a) + deg * (b4phi @ W1a)
+    where W1a is the L first layer's aggregate-input block and deg the
+    masked in-degree. The returned dict then has "phi_hidden" (layers 1-2
+    only) instead of "phi_fused", and L_fused.w1 has shape
+    (K, base + 3*hidden + 1, 3*hidden) — the +1 row is deg's weight,
+    b4phi @ W1a. The E-row output matmul disappears and the edge
+    aggregation narrows from 3*latent to 3*hidden.
     """
     if not cfg.fused_heads:
         return params
     lat, hid = cfg.latent_dim, cfg.hidden_dim
     base = 4 + lat  # node_base width: v, theta, delta_p, delta_q, m
+    fold = cfg.resolved_fold_output and cfg.multiple_phi
     cat = jnp.concatenate
     fused = {}
     if cfg.multiple_phi:
         ps = [params[h] for h in PHI_HEADS]
-        fused["phi_fused"] = {
+        phi = {
             "w1": cat([p["w1"] for p in ps], axis=2),
             "b1": cat([p["b1"] for p in ps], axis=1),
             "w2": _blockdiag([p["w2"] for p in ps]),
             "b2": cat([p["b2"] for p in ps], axis=1),
-            "w4": _blockdiag([p["w4"] for p in ps]),
-            "b4": cat([p["b4"] for p in ps], axis=1),
         }
+        phi_w4 = _blockdiag([p["w4"] for p in ps])  # (K, 3H, 3L)
+        phi_b4 = cat([p["b4"] for p in ps], axis=1)  # (K, 3L)
+        if fold:
+            fused["phi_hidden"] = phi
+        else:
+            fused["phi_fused"] = dict(phi, w4=phi_w4, b4=phi_b4)
     else:
         fused["phi"] = params["phi"]
     ls = [params[h] for h in L_HEADS]
@@ -155,6 +176,22 @@ def fuse_step_params(params, cfg: GNSConfig):
             w1 = w1.at[:, :base, cols].set(p["w1"][:, :base])
             w1 = w1.at[:, base + blk * lat : base + (blk + 1) * lat, cols].set(
                 p["w1"][:, base:]
+            )
+        if fold:
+            w1a = w1[:, base:]  # (K, 3L, 3H) aggregate-input block
+            # HIGHEST: these tiny products define the folded weights; the
+            # default matmul precision (bf16 passes on TPU and on XLA:CPU)
+            # would silently degrade the float32 path.
+            hp = jax.lax.Precision.HIGHEST
+            w1 = cat(
+                [
+                    w1[:, :base],
+                    jnp.einsum("khl,kli->khi", phi_w4, w1a, precision=hp),
+                    jnp.einsum("kl,kli->ki", phi_b4, w1a, precision=hp)[
+                        :, None, :
+                    ],  # deg feature row (carries b4phi)
+                ],
+                axis=1,
             )
     else:
         # single-phi: all three L heads share the identical input.
@@ -215,7 +252,7 @@ def gns_machinery(
     # keep state/physics in float32.
     cdt = jnp.dtype(cfg.compute_dtype)
 
-    def mlp(block_params, x, keep_dtype: bool = False):
+    def mlp(block_params, x, keep_dtype: bool = False, hidden_only: bool = False):
         prec = precision
         if prec is None and cdt == jnp.float32:
             # float32 must mean float32: the TPU MXU's default matmul
@@ -226,7 +263,8 @@ def gns_machinery(
         if cdt != x.dtype:
             block_params = jax.tree.map(lambda p: p.astype(cdt), block_params)
             x = x.astype(cdt)
-        out = learning_block_apply(block_params, x, cfg.leaky_relu_slope, prec)
+        apply = learning_block_hidden if hidden_only else learning_block_apply
+        out = apply(block_params, x, cfg.leaky_relu_slope, prec)
         if keep_dtype or cdt == jnp.float32:
             return out
         return out.astype(jnp.float32)
@@ -291,6 +329,12 @@ def gns_machinery(
     # Per-step discount weights gamma^(K-k), k = 0..K-1 (main.py:198).
     discounts = cfg.gamma ** (cfg.K - jnp.arange(cfg.K, dtype=f32))
 
+    # Masked in-degree for the aggregate-then-project fold (the deg feature
+    # carrying b4phi @ W1a; see fuse_step_params). Step-invariant.
+    deg_col = None
+    if cfg.resolved_fold_output and cfg.multiple_phi and cfg.fused_heads:
+        deg_col = _psum(segment_sum(lm, dst, n, method=method))[:, None]
+
     def residual_sums(dp, dq):
         sq = dp * dp + dq * dq
         if bm is not None:
@@ -327,8 +371,21 @@ def gns_machinery(
 
         if fused:
             # Block MLPs from fuse_step_params: one edge matmul chain, ONE
-            # (E, 3·latent) aggregation, one node matmul chain.
-            if cfg.multiple_phi:
+            # edge aggregation, one node matmul chain.
+            if "phi_hidden" in step_params:
+                # aggregate-then-project fold: aggregate the (E, 3H) hidden
+                # activation; phi's output projection lives inside
+                # L_fused.w1, with the in-degree column carrying b4phi.
+                h2 = mlp(step_params["phi_hidden"], edge_in, keep_dtype=True,
+                         hidden_only=True)
+                agg = segment_sum(
+                    h2 * lm_col.astype(h2.dtype), dst, n, method=method
+                )
+                node_in = jnp.concatenate(
+                    [node_base, _psum(agg.astype(jnp.float32)), deg_col],
+                    axis=1,
+                )
+            elif cfg.multiple_phi:
                 phi_out = mlp(step_params["phi_fused"], edge_in, keep_dtype=True)
                 agg = segment_sum(
                     phi_out * lm_col.astype(phi_out.dtype), dst, n, method=method
@@ -414,7 +471,7 @@ def gns_forward(
         cfg, buses, lines, generators, bus_mask, line_mask, gen_mask, n_bus,
         method=method, precision=precision, edge_axis=edge_axis, topo=topo,
     )
-    if cfg.remat:
+    if cfg.resolved_remat:
         step = jax.checkpoint(step)
     carry, _ = jax.lax.scan(
         step,

@@ -259,7 +259,9 @@ def megakernel_forward_batch(params, cfg, batch, topo, interpret: bool = False):
         )
     if topo is None:
         raise ValueError("megakernel requires a shared GridTopology")
-    fcfg = cfg.replace(fused_heads=True)
+    # fold_output off: this kernel consumes the explicit phi output layer
+    # (the aggregate-then-project fold lives in the XLA path only).
+    fcfg = cfg.replace(fused_heads=True, fold_output="off")
     fp = fuse_step_params(params, fcfg)
     pw, lw = fp["phi_fused"], fp["L_fused"]
 

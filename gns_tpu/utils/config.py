@@ -64,6 +64,19 @@ class GNSConfig:
     # off-diagonal weight blocks are zeros). See models/gns.py
     # fuse_step_params.
     fused_heads: bool = True
+    # Fold the phi output projection into the L heads' first layer
+    # ("aggregate-then-project"): since the edge aggregation is linear,
+    #   agg((H2 @ W4 + b4) * mask) @ W1a == agg(H2 * mask) @ (W4 @ W1a)
+    #                                       + deg * (b4 @ W1a)
+    # so the (E, 3H) -> (E, 3L) output matmul on edge rows disappears and
+    # the aggregation runs at width 3*hidden instead of 3*latent (30 vs 60
+    # at the headline config — the aggregation is the step's largest MXU
+    # contraction). deg is the masked in-degree, appended as one extra node
+    # feature whose weight row is b4 @ W1a. Exact in real arithmetic;
+    # reassociates float contractions, so 'auto' enables it only for
+    # bfloat16 compute (the production path), keeping float32 parity
+    # numerics unchanged. 'on' / 'off' force it.
+    fold_output: str = "auto"
     # Lowering of bus->edge gathers (ops/segment.py gather): 'take'
     # (jnp.take; VJP is an XLA scatter), 'onehot' (G(E,N) @ data matmul;
     # VJP is the transposed matmul, scatter-free), or 'auto': pick by
@@ -78,6 +91,20 @@ class GNSConfig:
     scan_unroll: int = 0
 
     @property
+    def resolved_fold_output(self) -> bool:
+        if self.fold_output == "on":
+            return True
+        if self.fold_output == "off":
+            return False
+        if self.fold_output != "auto":
+            raise ValueError(f"fold_output must be auto/on/off, got {self.fold_output!r}")
+        return (
+            self.fused_heads
+            and self.multiple_phi
+            and self.compute_dtype == "bfloat16"
+        )
+
+    @property
     def resolved_scan_unroll(self) -> int:
         if self.scan_unroll > 0:
             return self.scan_unroll
@@ -87,8 +114,22 @@ class GNSConfig:
     # only the small per-step carry (v, theta, m, dp, dq) from HBM and
     # recomputes edge activations on the fly — trading cheap MXU FLOPs for
     # HBM bandwidth, the standard TPU recipe when activations dominate
-    # memory traffic.
-    remat: bool = False
+    # memory traffic. Measured at the headline config (case300 K=4 b256
+    # bf16 + fold): 1.43 ms/step vs 1.80 without — the no-remat backward
+    # is residual-traffic-bound, not FLOP-bound. "auto" = on for TPU, off
+    # elsewhere (XLA:CPU gains nothing and pays the recompute); True/False
+    # force it.
+    remat: object = "auto"
+
+    @property
+    def resolved_remat(self) -> bool:
+        if isinstance(self.remat, bool):
+            return self.remat
+        if self.remat != "auto":
+            raise ValueError(f"remat must be auto/True/False, got {self.remat!r}")
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     @property
     def lr(self) -> float:

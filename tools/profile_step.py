@@ -1,8 +1,10 @@
 """Dissect the train step's device time: forward vs backward vs optimizer.
 
-Times each stage as a device-side lax.scan of `--inner` iterations,
-barriered by host value fetches (the only trustworthy barrier on this
-environment's remote-TPU relay — see bench.py docstring).
+Times each stage as a device-side lax.scan, barriered by host value fetches
+(the only trustworthy barrier on this environment's remote-TPU relay — see
+bench.py docstring). The fetch round-trip (~33 ms measured) is cancelled by
+two-point calibration: scans of `--inner` and `2*--inner` iterations are
+timed (min of --repeats each) and the difference divided by --inner.
 
 Stages:
   fwd        loss only (no grad)
@@ -32,11 +34,15 @@ def main():
     p.add_argument("--hidden", type=int, default=10)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--inner", type=int, default=128)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed dispatches per scan length; min taken")
     p.add_argument("--method", default="onehot")
     p.add_argument("--compute-dtype", default="bfloat16")
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", default="auto", choices=["auto", "on", "off"])
     p.add_argument("--unroll", type=int, default=None)
     p.add_argument("--gather", default=None, choices=[None, "take", "onehot"])
+    p.add_argument("--fold", default=None, choices=[None, "auto", "on", "off"],
+                   help="aggregate-then-project fold (utils/config.py fold_output)")
     p.add_argument("--stages", default="fwd,grad,step")
     args = p.parse_args()
 
@@ -58,10 +64,12 @@ def main():
         kw["scan_unroll"] = args.unroll
     if args.gather is not None:
         kw["gather_method"] = args.gather
+    if args.fold is not None:
+        kw["fold_output"] = args.fold
     cfg = GNSConfig(
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True, batch_size=args.batch,
-        compute_dtype=args.compute_dtype, remat=args.remat,
+        compute_dtype=args.compute_dtype, remat={"auto": "auto", "on": True, "off": False}[args.remat],
         reference_parity=(args.compute_dtype == "float32"), **kw,
     )
     batch = batch_from_cases(
@@ -81,23 +89,28 @@ def main():
     grad_fn = jax.grad(loss_fn)
 
     def scan_time(body, init, label):
-        """Time a device-side scan of `body` over --inner iterations."""
-        @jax.jit
-        def run(carry):
-            return jax.lax.scan(
-                lambda c, _: (body(c), None), carry, None, length=args.inner
-            )[0]
+        """Per-iteration device time of `body`, RTT-cancelled (two-point)."""
 
-        out = run(init)
-        jax.tree.map(
-            lambda x: jnp.asarray(x).ravel()[0].item(), jax.tree.leaves(out)[0]
-        )
-        t0 = time.perf_counter()
-        out = run(init)
-        jax.tree.map(
-            lambda x: jnp.asarray(x).ravel()[0].item(), jax.tree.leaves(out)[0]
-        )
-        dt = (time.perf_counter() - t0) / args.inner
+        def timed(length):
+            run = jax.jit(
+                lambda carry: jax.lax.scan(
+                    lambda c, _: (body(c), None), carry, None, length=length
+                )[0]
+            )
+            fetch = jax.jit(
+                lambda out: jax.tree.leaves(out)[0].ravel()[0]
+            )
+            _ = jax.device_get(fetch(run(init)))  # compile + warm
+            best = float("inf")
+            for _i in range(args.repeats):
+                t0 = time.perf_counter()
+                _ = jax.device_get(fetch(run(init)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt1 = timed(args.inner)
+        dt2 = timed(2 * args.inner)
+        dt = max(dt2 - dt1, 1e-9) / args.inner
         eps = args.batch * n_edges * args.K / dt
         print(f"{label:10s} {dt*1e3:8.3f} ms/it   {eps:.3e} edges/s")
         return dt
