@@ -315,16 +315,15 @@ def gns_machinery(
 
     bm = bus_mask if bus_mask is not None else None
     lm_col = lm[:, None]
-    # Gather lowering (ops/segment.py): measured on the headline step,
-    # one-hot wins under a rolled K-scan (145.7 vs 128.6 M edges/s — the
-    # take-VJP scatters serialize), but take wins once the scan is
-    # unrolled (197 vs 187 — XLA fuses the scatters across steps).
+    # Gather lowering (ops/segment.py): 'hybrid' (take forward, custom
+    # one-hot-matmul VJP) dominates on TPU — it keeps the forward a cheap
+    # copy AND the backward scatter-free, which the old take/onehot
+    # trade-off ('take' fast forward but scatter VJP; 'onehot' matmul both
+    # ways) could only pick between. Measured at the headline train
+    # config: 1.16 (hybrid) vs 1.41 (take) vs 1.43 (onehot) ms/step.
     gmethod = cfg.gather_method
     if gmethod == "auto":
-        rolled = cfg.resolved_scan_unroll == 1
-        gmethod = (
-            "onehot" if (rolled and jax.default_backend() == "tpu") else "take"
-        )
+        gmethod = "hybrid" if jax.default_backend() == "tpu" else "take"
 
     # Per-step discount weights gamma^(K-k), k = 0..K-1 (main.py:198).
     discounts = cfg.gamma ** (cfg.K - jnp.arange(cfg.K, dtype=f32))

@@ -32,7 +32,7 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-dir", default=None)
-    p.add_argument("--method", default="auto", choices=["auto", "scatter", "onehot", "pallas"])
+    p.add_argument("--method", default="auto", choices=["auto", "scatter", "onehot", "hybrid", "pallas"])
     p.add_argument("--paper-physics", action="store_true",
                    help="use paper-correct physics instead of reference parity")
     p.add_argument("--out-dir", default="models")

@@ -79,9 +79,10 @@ class GNSConfig:
     fold_output: str = "auto"
     # Lowering of bus->edge gathers (ops/segment.py gather): 'take'
     # (jnp.take; VJP is an XLA scatter), 'onehot' (G(E,N) @ data matmul;
-    # VJP is the transposed matmul, scatter-free), or 'auto': pick by
-    # backend and scan mode (see models/gns.py — the winner flips with
-    # scan unrolling).
+    # VJP is the transposed matmul, scatter-free), 'hybrid' (take forward
+    # with a custom one-hot-matmul VJP — cheap copy forward AND
+    # scatter-free backward; dominates on TPU), or 'auto': hybrid on TPU,
+    # take elsewhere.
     gather_method: str = "auto"
     # Unroll factor of the K-step lax.scan. 0 = auto: fully unroll when
     # K <= 12, else rolled. Unrolling lets XLA fuse across correction
