@@ -111,15 +111,14 @@ class GNSConfig:
             return self.scan_unroll
         return self.K if self.K <= 12 else 1
     # Rematerialize each correction step in the backward pass
-    # (jax.checkpoint around the scanned step): the backward then reads
-    # only the small per-step carry (v, theta, m, dp, dq) from HBM and
-    # recomputes edge activations on the fly — trading cheap MXU FLOPs for
-    # HBM bandwidth, the standard TPU recipe when activations dominate
-    # memory traffic. Measured at the headline config (case300 K=4 b256
-    # bf16 + fold): 1.43 ms/step vs 1.80 without — the no-remat backward
-    # is residual-traffic-bound, not FLOP-bound. "auto" = on for TPU, off
-    # elsewhere (XLA:CPU gains nothing and pays the recompute); True/False
-    # force it.
+    # (jax.checkpoint around the scanned step). Measurement history at the
+    # headline config (case300 K=4 b256 bf16 fold): with take-VJP
+    # scatters in the backward, remat won (1.43 vs 1.80 ms/step — the
+    # scatter-laden backward was residual-traffic-bound); with the hybrid
+    # custom-VJP ops the backward is scatter-free and cheap, and remat
+    # only adds recompute (0.93 no-remat vs 1.18 remat). "auto" therefore
+    # resolves to off; True forces it for memory-bound configs (deep K,
+    # huge batches) where residuals would not fit HBM.
     remat: object = "auto"
 
     @property
@@ -128,9 +127,7 @@ class GNSConfig:
             return self.remat
         if self.remat != "auto":
             raise ValueError(f"remat must be auto/True/False, got {self.remat!r}")
-        import jax
-
-        return jax.default_backend() == "tpu"
+        return False
 
     @property
     def lr(self) -> float:
