@@ -59,26 +59,38 @@ def main():
         batch = jax.device_put(batch)
         n_edges = batch.lines.shape[1]
 
-        @jax.jit
-        def infer_scan(params, batch):
-            def body(c, _):
-                # Thread the carry into the input so XLA cannot hoist the
-                # (otherwise loop-invariant) forward out of the scan: the
-                # perturbation is 1e-30-scale, numerically invisible.
-                b = batch._replace(buses=batch.buses * (1.0 + c * 1e-30))
-                out = gns_forward_batch(
-                    params, cfg, b, method="onehot", topo=topo
-                )
-                return out.v.mean() + out.theta.mean(), None
-            s, _ = jax.lax.scan(
-                body, jnp.float32(0), None, length=args.inner_steps
-            )
-            return s
+        def make_scan(length):
+            @jax.jit
+            def infer_scan(params, batch):
+                def body(c, _):
+                    # Thread the carry into the input so XLA cannot hoist
+                    # the (otherwise loop-invariant) forward out of the
+                    # scan: the perturbation is 1e-30-scale, invisible.
+                    b = batch._replace(buses=batch.buses * (1.0 + c * 1e-30))
+                    out = gns_forward_batch(
+                        params, cfg, b, method="onehot", topo=topo
+                    )
+                    return out.v.mean() + out.theta.mean(), None
+                s, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+                return s
+            return infer_scan
 
-        float(infer_scan(params, batch))  # warm-up + value barrier
-        t0 = time.perf_counter()
-        float(infer_scan(params, batch))
-        dt = (time.perf_counter() - t0) / args.inner_steps
+        def timed(length, repeats=3):
+            # min-of-repeats wall time of one dispatch + value fetch
+            fn = make_scan(length)
+            float(fn(params, batch))  # warm-up + value barrier
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                float(fn(params, batch))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # Two-point calibration cancels the ~33 ms relay fetch round-trip
+        # (see bench.py docstring) — at sub-ms batch latency the single-
+        # dispatch measurement is otherwise RTT-dominated.
+        dt = max(timed(2 * args.inner_steps) - timed(args.inner_steps), 1e-9)
+        dt /= args.inner_steps
         print(json.dumps({
             "case": case,
             "batch": args.batch,
