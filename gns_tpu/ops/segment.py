@@ -168,6 +168,71 @@ def gather(data, indices, method: str = "take"):
     return _onehot_matmul(g, data, data.dtype)
 
 
+def _degree_slots(segment_ids, num_segments: int):
+    """Host-side slot tables for the degree-slot segment sum.
+
+    slots[d, n] = index of segment n's d-th member row (last row as an
+    in-range dummy for empty slots), valid[d, n] = 1.0 iff filled. d ranges over the
+    maximum segment size (the graph's max in-degree — <= 9 on the MATPOWER
+    cases). Slot order follows row order, matching the sequential
+    accumulation order of scatter-add.
+    """
+    import numpy as np
+
+    ids = np.asarray(segment_ids)
+    e = ids.shape[0]
+    counts = np.bincount(ids, minlength=num_segments)
+    dmax = max(int(counts.max()) if e else 1, 1)
+    # dummy = last row (in range: jnp.take's out-of-jit default fills with
+    # NaN for out-of-range indices, and NaN * 0.0 poisons the masked sum)
+    slots = np.full((dmax, num_segments), max(e - 1, 0), np.int32)
+    valid = np.zeros((dmax, num_segments), np.float32)
+    pos = np.zeros(num_segments, np.int64)
+    for row, n in enumerate(ids):
+        slots[pos[n], n] = row
+        valid[pos[n], n] = 1.0
+        pos[n] += 1
+    return slots, valid
+
+
+def make_degree_segment_sum(segment_ids, num_segments: int):
+    """Build a segment-sum for a STATIC (host-known) segment map as a
+    degree-slot take-tree: out[n] = sum_d data[slots[d, n]] * valid[d, n].
+
+    No matmul in either direction — max_degree row gathers + adds forward
+    (exact in the data dtype, bandwidth-bound) and one row gather backward
+    (custom VJP: d_data[e] = ct[segment_ids[e]]). This beats the one-hot
+    lowering for narrow float32 operands, where the 0/1 matmul needs the
+    6-pass HIGHEST path (the TPU MXU truncates f32 to bf16): the physics
+    refresh's (E, 2) mismatch sums are the motivating case.
+
+    segment_ids must be a concrete (numpy) array — shared-topology only.
+    """
+    slots, valid = _degree_slots(segment_ids, num_segments)
+    ids = segment_ids
+
+    @jax.custom_vjp
+    def f(data):
+        squeeze = data.ndim == 1
+        x = data[:, None] if squeeze else data
+        out = None
+        for d in range(slots.shape[0]):
+            t = jnp.take(x, slots[d], axis=0) * valid[d][:, None].astype(x.dtype)
+            out = t if out is None else out + t
+        return out[:, 0] if squeeze else out
+
+    def fwd(data):
+        return f(data), (data.ndim == 1, jnp.zeros((0,), data.dtype))
+
+    def bwd(res, ct):
+        squeeze, token = res
+        g = jnp.take(ct, ids, axis=0)
+        return (g.astype(token.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def broadcast_col0_segment_sum(data_col, segment_ids, num_segments, latent_dim, method="auto"):
     """Reference quirk Q1: scatter an (E, 1) message into an (N, latent) buffer.
 

@@ -77,6 +77,31 @@ def physics_refresh(
     lm = line_mask if line_mask is not None else 1.0
     gmethod = gather_method
 
+    # method='degree' (opt-in, shared topology): degree-slot take-trees
+    # (ops/segment.py make_degree_segment_sum) replace the 6-pass-HIGHEST
+    # one-hot matmuls on the (E, 2)/(G,) float32 mismatch sums. Measured
+    # at the headline train config: 1.30 vs 1.00 ms/step — the max_deg
+    # small gathers lose to one MXU matmul even at 6 passes, so this stays
+    # an explicit option (exact-f32, matmul-free), not the auto choice.
+    if topo is not None and method == "degree":
+        from gns_tpu.ops.segment import make_degree_segment_sum
+
+        _ss_dst = make_degree_segment_sum(topo[1], n)
+        _ss_src = make_degree_segment_sum(topo[0], n)
+        _ss_gen = make_degree_segment_sum(topo[2], n)
+        segsum_dst = lambda x: _ss_dst(x)
+        segsum_src = lambda x: _ss_src(x)
+        segsum_gen = lambda x: _ss_gen(x)
+    else:
+        # 'degree' needs host-known ids; without topo fall back to auto.
+        m = "auto" if method == "degree" else method
+        segsum_dst = lambda x: segment_sum(x, dst, n, method=m)
+        segsum_src = lambda x: segment_sum(x, src, n, method=m)
+        gen_bus_ids = (
+            gens[:, GEN["bus_i"]].astype(jnp.int32) - 1 if topo is None else topo[2]
+        )
+        segsum_gen = lambda x: segment_sum(x, gen_bus_ids, n, method=m)
+
     v2 = v * v
     pd = buses[:, BUS["Pd"]]
     qd = buses[:, BUS["Qd"]]
@@ -138,15 +163,15 @@ def physics_refresh(
     if reference_parity:
         from_pair = jnp.stack([p_from, q_from], axis=1) * lm_col  # @ dst
         to_pair = jnp.stack([p_to, q_to], axis=1) * lm_col  # @ src
-        agg_dst = _psum(segment_sum(from_pair, dst, n, method=method))
-        agg_src = _psum(segment_sum(to_pair, src, n, method=method))
+        agg_dst = _psum(segsum_dst(from_pair))
+        agg_src = _psum(segsum_src(to_pair))
         p_sum = agg_dst[:, 0] + agg_src[:, 0]
         q_sum = agg_dst[:, 1] + agg_src[:, 1]
     else:
         from_pair = jnp.stack([p_from, q_from], axis=1) * lm_col  # @ src side
         to_pair = jnp.stack([p_to, q_to], axis=1) * lm_col  # @ dst side
-        agg_src = _psum(segment_sum(from_pair, src, n, method=method))
-        agg_dst = _psum(segment_sum(to_pair, dst, n, method=method))
+        agg_src = _psum(segsum_src(from_pair))
+        agg_dst = _psum(segsum_dst(to_pair))
         p_sum = agg_src[:, 0] + agg_dst[:, 0]
         q_sum = agg_src[:, 1] + agg_dst[:, 1]
 
@@ -161,11 +186,8 @@ def physics_refresh(
     qg_new = qg_start - q_sum
 
     # ---- local imbalance (main.py:81-103) with qg_k = qg_new ----
-    gen_bus = (
-        gens[:, GEN["bus_i"]].astype(jnp.int32) - 1 if topo is None else topo[2]
-    )
     pg = pg_new * gen_mask if gen_mask is not None else pg_new
-    pg_bus = segment_sum(pg, gen_bus, n, method=method)
+    pg_bus = segsum_gen(pg)
     delta_p = pg_bus - pd - gs * v2 + p_sum
 
     # delta_q = (qg_new - Qd + Bs v^2) + q_sum == 0 by construction (the

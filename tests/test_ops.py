@@ -24,7 +24,7 @@ def _random_problem(key, e=37, n=17, d=8, batch=None):
     return data, seg, n
 
 
-@pytest.mark.parametrize("method", ["scatter", "onehot"])
+@pytest.mark.parametrize("method", ["scatter", "onehot", "hybrid"])
 def test_segment_sum_methods_agree(method):
     data, seg, n = _random_problem(0)
     ref = np.zeros((n, data.shape[1]), np.float32)
@@ -54,6 +54,71 @@ def test_empty_segments_and_out_of_range():
         assert out[0].sum() == 6.0  # two edges
         assert np.all(out[1] == 0) and np.all(out[3] == 0) and np.all(out[4] == 0)
         assert out[2].sum() == 3.0
+
+
+def test_hybrid_vjps_match():
+    """'hybrid' custom-VJP lowerings: values and grads equal the plain paths."""
+    from gns_tpu.ops.segment import gather
+
+    data, seg, n = _random_problem(7)
+    nodes = jax.random.normal(jax.random.key(9), (n, data.shape[1]))
+    g0 = jax.grad(lambda a: jnp.sum(jnp.sin(segment_sum(a, seg, n, method="scatter"))))(data)
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(segment_sum(a, seg, n, method="hybrid"))))(data)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-6)
+    h0 = jax.grad(lambda a: jnp.sum(jnp.sin(gather(a, seg, method="take"))))(nodes)
+    h1 = jax.grad(lambda a: jnp.sum(jnp.sin(gather(a, seg, method="hybrid"))))(nodes)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-5, atol=1e-6)
+    # bf16 primals keep bf16 cotangents (the one-hot path accumulates f32)
+    b16 = data.astype(jnp.bfloat16)
+    gb = jax.grad(
+        lambda a: jnp.sum(segment_sum(a, seg, n, method="hybrid").astype(jnp.float32))
+    )(b16)
+    assert gb.dtype == jnp.bfloat16
+
+
+def test_degree_segment_sum():
+    """Static-topology degree-slot take-tree: exact vs scatter, fwd+bwd,
+    1-D and vmap; empty segments stay zero."""
+    from gns_tpu.ops.segment import make_degree_segment_sum
+
+    rng = np.random.RandomState(3)
+    e, n, d = 37, 25, 4
+    ids = rng.randint(0, n - 3, e).astype(np.int32)  # last 3 segments empty
+    data = jnp.asarray(rng.randn(e, d), jnp.float32)
+    f = make_degree_segment_sum(ids, n)
+    ref = segment_sum(data, jnp.asarray(ids), n, method="scatter")
+    np.testing.assert_array_equal(np.asarray(f(data)), np.asarray(ref))
+    assert np.all(np.asarray(f(data))[-3:] == 0)
+    g0 = jax.grad(lambda a: jnp.sum(jnp.sin(segment_sum(a, jnp.asarray(ids), n, method="scatter"))))(data)
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(f(a))))(data)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(f(data[:, 0])),
+        np.asarray(segment_sum(data[:, 0], jnp.asarray(ids), n, method="scatter")),
+    )
+    batched = jax.vmap(f)(jnp.stack([data, 2 * data]))
+    assert batched.shape == (2, n, d)
+
+
+def test_physics_degree_matches_scatter():
+    """physics_refresh(method='degree') == scatter path, both parity modes."""
+    from gns_tpu.physics.fused import physics_refresh
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
+
+    batch = batch_from_cases(list(generate_cases(30, 2, seed=4)))
+    topo = extract_shared_topology(batch)
+    v = jnp.ones(batch.buses.shape[1]) * 1.01
+    th = jnp.zeros(batch.buses.shape[1])
+    for parity in (True, False):
+        a = physics_refresh(v, th, batch.buses[0], batch.lines[0],
+                            batch.generators[0], reference_parity=parity,
+                            method="scatter", topo=topo)
+        b = physics_refresh(v, th, batch.buses[0], batch.lines[0],
+                            batch.generators[0], reference_parity=parity,
+                            method="degree", topo=topo)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
 def test_broadcast_col0_quirk():
