@@ -62,6 +62,27 @@ def test_edge_partitioned_case300_padded():
     )
 
 
+def test_edge_partitioned_production_config_matches(data300):
+    """The TPU production lowering (bf16 compute, aggregate-then-project
+    fold, hybrid custom-VJP gather/segment ops) must survive shard_map
+    edge partitioning: partial per-shard aggregations + psum equal the
+    single-device result to f32-reassociation noise."""
+    cfg = CFG.replace(
+        compute_dtype="bfloat16", fold_output="on", gather_method="hybrid"
+    )
+    mesh = make_mesh(dp=2, gp=4)
+    params = init_gns_params(jax.random.key(5), cfg)
+    ref = gns_forward_batch(params, cfg, data300, method="hybrid")
+    fwd = make_edge_partitioned_forward(cfg, mesh, method="hybrid")
+    out = fwd(params, data300)
+    np.testing.assert_allclose(
+        np.asarray(out.v), np.asarray(ref.v), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.total_loss), np.asarray(ref.total_loss), rtol=1e-4
+    )
+
+
 def test_edge_partitioned_train_step_matches(data300):
     mesh = make_mesh(dp=2, gp=4)
     data = data300[:4]
