@@ -106,7 +106,10 @@ def generate_dataset(
     out_dir = os.path.join(data_dir, f"case{case_nr}")
     os.makedirs(out_dir, exist_ok=True)
 
-    buses_all, lines_all, gens_all = [], [], []
+    # Stream: prepared tensors go straight into preallocated arrays (no
+    # list-of-arrays doubling), so >10k-grid sets cost exactly the final
+    # buffer (e.g. 100k case300 grids ~2 GB, not 4+).
+    buses_all = lines_all = gens_all = None
     for i, case in enumerate(generate_cases(case_nr, num_augmentations, seed)):
         if write_pickles:
             with open(
@@ -115,15 +118,18 @@ def generate_dataset(
                 pickle.dump(case, f)
         if write_npz:
             b, l, g = prepare_case(case)
-            buses_all.append(b)
-            lines_all.append(l)
-            gens_all.append(g)
+            if buses_all is None:
+                n = num_augmentations + 1
+                buses_all = np.empty((n,) + b.shape, np.float32)
+                lines_all = np.empty((n,) + l.shape, np.float32)
+                gens_all = np.empty((n,) + g.shape, np.float32)
+            buses_all[i], lines_all[i], gens_all[i] = b, l, g
     if write_npz:
         np.savez_compressed(
             os.path.join(out_dir, f"prepared_case{case_nr}.npz"),
-            buses=np.stack(buses_all),
-            lines=np.stack(lines_all),
-            generators=np.stack(gens_all),
+            buses=buses_all,
+            lines=lines_all,
+            generators=gens_all,
             seed=np.int64(seed),
         )
     return out_dir
