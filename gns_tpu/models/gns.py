@@ -425,7 +425,10 @@ def gns_machinery(
         m = m + m_up
 
         # fused compensation + imbalance: shared edge messages computed
-        # once (physics/fused.py; numerically equal to the unfused pair)
+        # once (physics/fused.py; numerically equal to the unfused pair).
+        # (Selectively rematerializing just this chain was measured 8%
+        # SLOWER at the headline config — XLA already schedules the trig
+        # residuals well; see ROADMAP.md.)
         pg_new, qg_new, delta_p, delta_q = physics_refresh(
             v, theta, buses, lines, generators,
             reference_parity=cfg.reference_parity,
