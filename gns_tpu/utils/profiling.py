@@ -84,9 +84,19 @@ def train_step_roofline(cfg, batch, sec: float, fwd_only: bool = False) -> Roofl
 
     mlp = lambda rows, din, dout: 2 * rows * (din * H + H * H + H * dout)
     n_phi = 3 if cfg.multiple_phi else 1
-    phi_flops = n_phi * mlp(e, phi_in, L if cfg.multiple_phi else 1)
-    upd_flops = mlp(n, upd_in, 1) * 2 + mlp(n, upd_in, L)
-    agg_flops = n_phi * 2 * n * e * L  # one-hot contraction
+    if cfg.resolved_fold_output and cfg.multiple_phi and cfg.fused_heads:
+        # aggregate-then-project fold: phi runs layers 1-2 only (fused
+        # trio width 3H), the aggregation is (N,E)@(E,3H), and L's first
+        # layer consumes [base | agg3H | deg] (see models/gns.py).
+        h3 = 3 * H
+        base = 4 + L
+        phi_flops = 2 * e * (phi_in * h3 + h3 * h3)
+        upd_flops = 2 * n * ((base + h3 + 1) * h3 + h3 * h3 + h3 * (2 + L))
+        agg_flops = 2 * n * e * h3
+    else:
+        phi_flops = n_phi * mlp(e, phi_in, L if cfg.multiple_phi else 1)
+        upd_flops = mlp(n, upd_in, 1) * 2 + mlp(n, upd_in, L)
+        agg_flops = n_phi * 2 * n * e * L  # one-hot contraction
     trig_flops = 40 * e  # physics messages, ~10 trig ops x amortized cost
     step_flops = (phi_flops + upd_flops + agg_flops + trig_flops) * K * s
     total_flops = step_flops * (1 if fwd_only else 3)
