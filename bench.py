@@ -41,8 +41,8 @@ def main():
     p.add_argument("--inner-steps", type=int, default=512,
                    help="optimizer steps per dispatch (device-side lax.scan); "
                         "512 amortizes the ~33ms relay fetch round-trip to <5%%")
-    p.add_argument("--repeats", type=int, default=1,
-                   help="timed dispatches (each inner-steps long)")
+    p.add_argument("--repeats", type=int, default=2,
+                   help="timed dispatches (each inner-steps long); min taken")
     p.add_argument("--method", default="onehot")
     # bf16 MLP compute is the production default on TPU (params/physics stay
     # f32); use --compute-dtype float32 for parity-grade numerics.
@@ -95,11 +95,15 @@ def main():
     state, metrics = step(state, xs)
     float(metrics["loss"][-1])
 
-    t0 = time.perf_counter()
+    # min over dispatches: ambient relay/chip load drifts readings +-10%,
+    # and the best dispatch is the least-contended view of device time.
+    best = float("inf")
     for _ in range(args.repeats):
+        t0 = time.perf_counter()
         state, metrics = step(state, xs)
         loss = float(metrics["loss"][-1])  # host value fetch = real barrier
-    dt = (time.perf_counter() - t0) / (args.repeats * args.inner_steps)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / args.inner_steps
     assert loss == loss and loss != float("inf"), "non-finite loss"
 
     edges_per_s = args.batch * n_edges * args.K / dt
