@@ -94,3 +94,25 @@ def test_pipeline_forward_matches(data, n_stages, microbatch):
     np.testing.assert_allclose(
         np.asarray(out.last_loss), np.asarray(ref.last_loss), rtol=2e-5, atol=1e-7
     )
+
+
+def test_pipeline_forward_production_lowering(data):
+    """Pipeline staging with the TPU production lowering (bf16 compute,
+    aggregate-then-project fold, hybrid ops): per-stage fuse_step_params
+    must emit the folded layout and the staged carry must still match the
+    single-device forward."""
+    cfg = CFG.replace(
+        compute_dtype="bfloat16", fold_output="on", gather_method="hybrid",
+        reference_parity=False,
+    )
+    mesh = make_mesh(dp=2, gp=1, devices=jax.devices()[:2], axis_names=("pp", "unused"))
+    params = init_gns_params(jax.random.key(1), cfg)
+    ref = gns_forward_batch(params, cfg, data, method="hybrid")
+    fn = make_pipelined_forward(cfg, mesh, microbatch=2, method="hybrid")
+    out = fn(params, data)
+    np.testing.assert_allclose(
+        np.asarray(out.v), np.asarray(ref.v), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.total_loss), np.asarray(ref.total_loss), rtol=1e-4
+    )
