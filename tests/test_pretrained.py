@@ -49,7 +49,7 @@ def test_pretrained_residual_beats_random(case):
 
 
 def test_variant_checkpoints_load():
-    for key, case in (("300-deep", 300), ("multi", 14)):
+    for key, case in (("300-deep", 300), ("multi", 14), ("14-paper", 14)):
         if key not in available_cases():
             pytest.skip(f"{key} not shipped")
         params, cfg = load_pretrained(key)

@@ -137,6 +137,12 @@ def main():
                     help="tiny budget smoke (epochs=3, 32 train grids)")
     ap.add_argument("--phase", choices=["all", "jax", "torch"], default="all",
                     help="run one side only (results merge into ACCURACY.json)")
+    ap.add_argument("--physics", choices=["parity", "paper"], default="parity",
+                    help="gns_tpu physics mode: 'parity' reproduces the "
+                         "reference's quirky residual (the equal-budget "
+                         "comparison); 'paper' trains on the textbook AC "
+                         "equations (reference_parity=False) — results go "
+                         "under the 'gns_tpu_paper' key")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16
@@ -178,7 +184,8 @@ def main():
         cfg = GNSConfig(K=K, latent_dim=latent, hidden_dim=hidden,
                         multiple_phi=mphi, epochs=args.epochs,
                         nr_samples=args.nr_samples, seed=seed,
-                        batch_size=min(128, args.nr_samples))
+                        batch_size=min(128, args.nr_samples),
+                        reference_parity=(args.physics == "parity"))
         data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
         t0 = time.perf_counter()
         best, history = train(cfg, data, log_fn=lambda r: (
@@ -187,7 +194,8 @@ def main():
         jax_sec = time.perf_counter() - t0
         gns = run_gns(best.params, cfg, cases)
         m_jax = compute_metrics(nr, gns)
-        result["gns_tpu"] = {
+        key = "gns_tpu" if args.physics == "parity" else "gns_tpu_paper"
+        result[key] = {
             "v_mse": m_jax["v_mse"], "theta_mse": m_jax["theta_mse"],
             "theta_centered_mse": m_jax["theta_centered_mse"],
             "v_abs_mean": m_jax["v_abs_diff_mean"],
