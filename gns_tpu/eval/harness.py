@@ -104,7 +104,26 @@ def run_gns(params, cfg: GNSConfig, cases: List[Dict], method: str = "auto"):
 
 
 def compute_metrics(nr: Dict, gns: Dict) -> Dict:
-    """Reference metric definitions (evaluate.py:89-148) + MSEs."""
+    """Reference metric definitions (evaluate.py:89-148) + MSEs.
+
+    Grids where the NR oracle did not converge are excluded from every
+    error statistic (a non-converged runpf returns whatever iterate it
+    stopped at — comparing against it is noise); `nr_converged_frac`
+    reports how many survived. The reference never checks `success`
+    (GNS/evaluate.py:34-40)."""
+    conv = np.asarray(nr.get("converged", np.ones(len(nr["time"]), bool)), bool)
+    nr_converged_frac = float(conv.mean())
+    if not conv.any():
+        raise ValueError(
+            "NR oracle converged on 0 eval grids; accuracy metrics would be "
+            "meaningless. Regenerate eval grids (different seed/augmentation)."
+        )
+    if not conv.all():
+        s = len(conv)
+        nr = {k: v[conv] if getattr(v, "shape", ())[:1] == (s,) else v
+              for k, v in nr.items()}
+        gns = {k: v[conv] if getattr(v, "shape", ())[:1] == (s,) else v
+               for k, v in gns.items()}
     time_diff = gns["time"] - nr["time"]
     nr_theta = np.deg2rad(nr["theta_deg"])
     theta_diff = np.abs(gns["theta"] - nr_theta)
@@ -141,7 +160,7 @@ def compute_metrics(nr: Dict, gns: Dict) -> Dict:
         "alf_pct_p20": float(np.percentile(pct_sorted, 20)),
         "alf_pct_median": float(np.median(pct_sorted)),
         "alf_pct_p80": float(np.percentile(pct_sorted, 80)),
-        "nr_converged_frac": float(np.asarray(nr["converged"]).mean()),
+        "nr_converged_frac": nr_converged_frac,
     }
 
 

@@ -244,6 +244,11 @@ def gns_machinery(
     """
     if edge_axis is not None and cfg.reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
+    if cfg.reference_parity and (cfg.qg_gen_only or cfg.dispatch != "lambda"):
+        raise ValueError(
+            "qg_gen_only / dispatch='setpoint_slack' are paper-mode options: "
+            "set reference_parity=False (see utils/config.py)"
+        )
 
     def _psum(x):
         return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
@@ -312,6 +317,14 @@ def gns_machinery(
     line_feats = lines[:, 2:7]
     # PV-freeze mask: buses hosting any (real) generator keep their v.
     is_gen = agg0[:, 3] > 0
+
+    # Step-invariant masks for the paper-mode physics conventions.
+    gen_bus_mask = is_gen.astype(f32) if cfg.qg_gen_only else None
+    slack_mask = None
+    if cfg.dispatch == "setpoint_slack":
+        slack_mask = (buses[:, 1] == 3).astype(f32)
+        # keep the delta_p input feature consistent with the residual
+        delta_p = delta_p * (1.0 - slack_mask)
 
     bm = bus_mask if bus_mask is not None else None
     lm_col = lm[:, None]
@@ -434,6 +447,8 @@ def gns_machinery(
             reference_parity=cfg.reference_parity,
             bus_mask=bm, line_mask=lm, gen_mask=gm, method=method,
             edge_axis=edge_axis, topo=topo, gather_method=gmethod,
+            qg_gen_only=cfg.qg_gen_only, dispatch=cfg.dispatch,
+            gen_bus_mask=gen_bus_mask, slack_mask=slack_mask,
         )
         total_loss = total_loss + disc * residual_sums(delta_p, delta_q)
         return (v, theta, m, delta_p, delta_q, total_loss), None

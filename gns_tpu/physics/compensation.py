@@ -66,8 +66,16 @@ def global_active_compensation(
     gen_mask: Optional[jnp.ndarray] = None,
     method: str = "auto",
     edge_axis: Optional[str] = None,
+    qg_gen_only: bool = False,
+    dispatch: str = "lambda",
 ):
     """Return (Pg_new (G,), qg_new (N,)). See module docstring.
+
+    qg_gen_only / dispatch: paper-mode conventions (utils/config.py) —
+    qg_gen_only masks the reactive set-point to generator buses (the
+    paper's PV/PQ split; fixes quirk Q8's cancelling delta_q);
+    dispatch="setpoint_slack" keeps generators at their set-points (NR's
+    convention; pair with local_power_imbalance(zero_slack_dp=True)).
 
     edge_axis: mesh axis name over which the edge (line) set is sharded —
     inside shard_map, per-bus aggregates and scalar line sums become local
@@ -78,6 +86,13 @@ def global_active_compensation(
     """
     if edge_axis is not None and reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
+    if reference_parity and (qg_gen_only or dispatch != "lambda"):
+        raise ValueError(
+            "qg_gen_only / dispatch='setpoint_slack' are paper-mode options "
+            "(reference_parity=False)"
+        )
+    if dispatch not in ("lambda", "setpoint_slack"):
+        raise ValueError(f"dispatch must be lambda/setpoint_slack, got {dispatch!r}")
 
     def _psum(x):
         return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
@@ -116,7 +131,12 @@ def global_active_compensation(
         v2m = v2
     p_global = pd.sum() + jnp.sum(v2m * gs) + p_joule
 
-    pg_new = _lambda_dispatch(p_global, gens, gen_mask)
+    if dispatch == "setpoint_slack":
+        pg_new = gens[:, GEN["Pg_set"]]
+        if gen_mask is not None:
+            pg_new = pg_new * gen_mask
+    else:
+        pg_new = _lambda_dispatch(p_global, gens, gen_mask)
 
     # --- reactive set-points (reference main.py:64-76) ---
     qg_start = buses[:, BUS["Qd"]] - buses[:, BUS["Bs"]] * v2
@@ -151,6 +171,12 @@ def global_active_compensation(
             + segment_sum(q_t * lm, dst, n, method=method)
         )
         qg_new = qg_start + q_at_bus
+
+    if qg_gen_only:
+        gen_bus = gens[:, GEN["bus_i"]].astype(jnp.int32) - 1
+        ones = gen_mask if gen_mask is not None else jnp.ones(gens.shape[0])
+        gen_bus_mask = segment_sum(ones, gen_bus, n, method=method) > 0
+        qg_new = qg_new * gen_bus_mask.astype(qg_new.dtype)
 
     if bus_mask is not None:
         qg_new = qg_new * bus_mask

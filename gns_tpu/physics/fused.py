@@ -52,6 +52,10 @@ def physics_refresh(
     edge_axis: Optional[str] = None,
     topo=None,
     gather_method: str = "take",
+    qg_gen_only: bool = False,
+    dispatch: str = "lambda",
+    gen_bus_mask: Optional[jnp.ndarray] = None,
+    slack_mask: Optional[jnp.ndarray] = None,
 ):
     """One-pass equivalent of global_active_compensation followed by
     local_power_imbalance(.., pg_new, qg_new, ..).
@@ -59,10 +63,23 @@ def physics_refresh(
     topo: optional (src, dst, gen_idx) batch-invariant index arrays
     (utils.prepare.GridTopology) — the shared-topology fast path.
 
+    qg_gen_only / dispatch: paper-mode physics conventions (see
+    utils/config.py). gen_bus_mask (N,) and slack_mask (N,) are the
+    step-invariant masks they use; the caller should precompute them once
+    (the model does), else they are derived here.
+
     Returns (pg_new (G,), qg_new (N,), delta_p (N,), delta_q (N,)).
     """
     if edge_axis is not None and reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
+    if reference_parity and (qg_gen_only or dispatch != "lambda"):
+        raise ValueError(
+            "qg_gen_only / dispatch='setpoint_slack' are paper-mode options "
+            "(reference_parity=False): the parity path must keep the "
+            "reference's exact cancelling reactive residual (quirk Q8)."
+        )
+    if dispatch not in ("lambda", "setpoint_slack"):
+        raise ValueError(f"dispatch must be lambda/setpoint_slack, got {dispatch!r}")
 
     def _psum(x):
         return jax.lax.psum(x, edge_axis) if edge_axis is not None else x
@@ -176,23 +193,45 @@ def physics_refresh(
         q_sum = agg_src[:, 1] + agg_dst[:, 1]
 
     # ---- global active compensation (main.py:45-57) ----
-    pdm = pd * bus_mask if bus_mask is not None else pd
-    v2m = v2 * bus_mask if bus_mask is not None else v2
-    p_global = pdm.sum() + jnp.sum(v2m * gs) + p_joule
-    pg_new = _lambda_dispatch(p_global, gens, gen_mask)
+    if dispatch == "setpoint_slack":
+        # NR convention: generators hold their set-points; the slack bus
+        # absorbs losses + imbalance (its delta_p is masked out below), so
+        # the scalar lambda redispatch is skipped entirely.
+        pg_new = gens[:, GEN["Pg_set"]]
+        if gen_mask is not None:
+            pg_new = pg_new * gen_mask
+    else:
+        pdm = pd * bus_mask if bus_mask is not None else pd
+        v2m = v2 * bus_mask if bus_mask is not None else v2
+        p_global = pdm.sum() + jnp.sum(v2m * gs) + p_joule
+        pg_new = _lambda_dispatch(p_global, gens, gen_mask)
 
     # reactive set-point: qg_new = Qd - Bs v^2 - (reactive line sums)
     qg_start = qd - bs * v2
     qg_new = qg_start - q_sum
+    if qg_gen_only:
+        # Paper PV/PQ split: only buses hosting a generator provide
+        # reactive compensation; load buses keep qg = 0, so delta_q there
+        # is a live residual anchoring |v| (fixes quirk Q8 / ROADMAP #6).
+        if gen_bus_mask is None:
+            ones = gen_mask if gen_mask is not None else jnp.ones(gens.shape[0])
+            gen_bus_mask = (segsum_gen(ones) > 0).astype(qg_new.dtype)
+        qg_new = qg_new * gen_bus_mask
 
     # ---- local imbalance (main.py:81-103) with qg_k = qg_new ----
     pg = pg_new * gen_mask if gen_mask is not None else pg_new
     pg_bus = segsum_gen(pg)
     delta_p = pg_bus - pd - gs * v2 + p_sum
+    if dispatch == "setpoint_slack":
+        if slack_mask is None:
+            slack_mask = (buses[:, BUS["type"]] == 3).astype(delta_p.dtype)
+        delta_p = delta_p * (1.0 - slack_mask)
 
-    # delta_q = (qg_new - Qd + Bs v^2) + q_sum == 0 by construction (the
-    # same q_sum enters both terms); keep the explicit form so float noise
-    # matches the reference's 1e-6-scale values rather than exact zeros.
+    # delta_q = (qg_new - Qd + Bs v^2) + q_sum == 0 by construction when
+    # qg_new is unmasked (the same q_sum enters both terms — quirk Q8);
+    # keep the explicit form so float noise matches the reference's
+    # 1e-6-scale values rather than exact zeros. With qg_gen_only the
+    # load-bus rows carry the real reactive mismatch.
     delta_q = (qg_new - qd + bs * v2) + q_sum
 
     if bus_mask is not None:

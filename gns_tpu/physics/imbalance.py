@@ -36,10 +36,15 @@ def local_power_imbalance(
     gen_mask: Optional[jnp.ndarray] = None,
     method: str = "auto",
     edge_axis: Optional[str] = None,
+    zero_slack_dp: bool = False,
 ):
     """Return (delta_p (N,), delta_q (N,)) for generator outputs pg_k (G,),
     per-bus reactive generation qg_k (N,). See compensation.py for
-    edge_axis semantics (edge-partitioned execution)."""
+    edge_axis semantics (edge-partitioned execution).
+
+    zero_slack_dp: mask delta_p at the slack bus (type 3) — NR's
+    convention, where the slack absorbs the active imbalance; pair with
+    global_active_compensation(dispatch="setpoint_slack")."""
     if edge_axis is not None and reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
 
@@ -109,6 +114,11 @@ def local_power_imbalance(
             segment_sum(q_f * lm, src, n, method=method)
             + segment_sum(q_t * lm, dst, n, method=method)
         )
+
+    if zero_slack_dp:
+        if reference_parity:
+            raise ValueError("zero_slack_dp is a paper-mode option")
+        delta_p = delta_p * (buses[:, BUS["type"]] != 3).astype(delta_p.dtype)
 
     if bus_mask is not None:
         delta_p = delta_p * bus_mask

@@ -35,6 +35,31 @@ class GNSConfig:
     # message). When False, use the paper-correct physics equations.
     reference_parity: bool = True
 
+    # --- paper-mode physics conventions (require reference_parity=False) ---
+    # The reference computes the reactive set-point qg_new at EVERY bus from
+    # the same flow expressions the imbalance subtracts (GNS/main.py:64-76 vs
+    # :98-102), so delta_q cancels identically — the training loss carries NO
+    # reactive signal (quirk Q8), which leaves load-bus voltage magnitudes
+    # unconstrained and lets large-case training converge to wrong-voltage
+    # branches (ROADMAP #6). qg_gen_only=True restores the paper's PV/PQ
+    # split: reactive generation only at buses hosting a generator, so
+    # delta_q is a live residual at load buses that anchors |v|.
+    qg_gen_only: bool = False
+    # Generator active-power convention:
+    #   "lambda"          — the reference/paper global compensation: every
+    #                       generator is redispatched by the scalar factor
+    #                       lambda (GNS/main.py:47-57). Its optimum is a
+    #                       distributed-slack power flow whose dispatch can
+    #                       differ from Newton-Raphson's by the whole loss
+    #                       share (measured: up to 7.7 p.u. on case118).
+    #   "setpoint_slack"  — Newton-Raphson's convention: generators hold
+    #                       their set-points, the slack bus (type 3) absorbs
+    #                       the imbalance and its delta_p is excluded from
+    #                       the residual. The loss minimum then IS the NR
+    #                       solution (residual floor ~1e-4, only the paper
+    #                       shunts).
+    dispatch: str = "lambda"
+
     # --- training (reference: GNS/main.py:235-254) ---
     case_nr: int = 14
     batch_size: int = 128

@@ -88,3 +88,182 @@ def test_warmup_schedule_ramps():
     )
     # moved, but far less than a full-lr Adam step (|update| ~ lr_t)
     assert 0 < max_delta < cfg.lr
+
+
+# ---------------------------------------------------------------------------
+# Quirk Q8 + the paper-mode physics conventions that fix it (ROADMAP #6).
+# ---------------------------------------------------------------------------
+
+
+def _nr_state(case_nr):
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+    from gns_tpu.utils.cases import load_case
+    from gns_tpu.utils.prepare import prepare_case
+
+    case = load_case(case_nr)
+    res = newton_raphson_pf(case)
+    assert res.success
+    buses, lines, gens = prepare_case(case)
+    v = jnp.asarray(res.vm, jnp.float32)
+    theta = jnp.asarray(np.deg2rad(res.va_deg), jnp.float32)
+    return buses, lines, gens, v, theta
+
+
+def test_delta_q_cancels_identically_quirk_q8():
+    """The reference computes qg_new at EVERY bus from the same reactive
+    flow expressions the imbalance subtracts (GNS/main.py:64-76 vs
+    :98-102), so delta_q == 0 to float noise in BOTH modes: the training
+    loss carries no reactive signal."""
+    buses, lines, gens = _nr_state(30)[:3]
+    n = buses.shape[0]
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(1.0 + 0.1 * rng.standard_normal(n), jnp.float32)
+    theta = jnp.asarray(0.2 * rng.standard_normal(n), jnp.float32)
+    for parity in (True, False):
+        pg, qg = global_active_compensation(
+            v, theta, buses, lines, gens, reference_parity=parity
+        )
+        dp, dq = local_power_imbalance(
+            v, theta, buses, lines, gens, pg, qg, reference_parity=parity
+        )
+        assert float(jnp.abs(dq).max()) < 1e-4
+        assert float(jnp.abs(dp).max()) > 1.0
+
+
+def test_qg_gen_only_restores_reactive_residual():
+    """With qg_gen_only, load buses carry a real reactive mismatch (it
+    anchors |v|); at the NR solution it vanishes (NR satisfies reactive
+    balance at PQ buses)."""
+    from gns_tpu.utils.schema import GEN
+
+    buses, lines, gens, v_nr, th_nr = _nr_state(30)
+    n = buses.shape[0]
+    gen_bus = np.asarray(gens[:, GEN["bus_i"]], int) - 1
+    is_load = np.ones(n, bool)
+    is_load[gen_bus] = False
+
+    # far from the solution: load-bus delta_q is live signal
+    v = jnp.ones(n) * 1.2
+    pg, qg = global_active_compensation(
+        v, jnp.zeros(n), buses, lines, gens,
+        reference_parity=False, qg_gen_only=True,
+    )
+    assert float(np.abs(np.asarray(qg)[is_load]).max()) == 0.0
+    dp, dq = local_power_imbalance(
+        v, jnp.zeros(n), buses, lines, gens, pg, qg, reference_parity=False
+    )
+    assert float(np.abs(np.asarray(dq)[is_load]).max()) > 0.05
+    # at the NR solution it vanishes
+    pg, qg = global_active_compensation(
+        v_nr, th_nr, buses, lines, gens,
+        reference_parity=False, qg_gen_only=True,
+    )
+    dp, dq = local_power_imbalance(
+        v_nr, th_nr, buses, lines, gens, pg, qg, reference_parity=False
+    )
+    # floor: the fictitious paper shunts (Bs=-0.01 p.u. at every bus,
+    # utils.py:23-30) contribute ~|Bs| v^2 ~ 0.01 per load bus at NR
+    assert float(jnp.abs(dq).max()) < 0.02
+
+
+def test_nr_convention_objective_minimum_is_nr():
+    """qg_gen_only + dispatch='setpoint_slack': the residual at the NR
+    solution is ~the paper-shunt floor, orders of magnitude below any
+    degenerate state — the objective's minimum IS the NR solution."""
+    from gns_tpu.physics.fused import physics_refresh
+
+    buses, lines, gens, v_nr, th_nr = _nr_state(30)
+    n = buses.shape[0]
+
+    def residual(v, theta):
+        pg, qg = global_active_compensation(
+            v, theta, buses, lines, gens, reference_parity=False,
+            qg_gen_only=True, dispatch="setpoint_slack",
+        )
+        dp, dq = local_power_imbalance(
+            v, theta, buses, lines, gens, pg, qg,
+            reference_parity=False, zero_slack_dp=True,
+        )
+        # fused path must agree exactly
+        pg2, qg2, dp2, dq2 = physics_refresh(
+            v, theta, buses, lines, gens, reference_parity=False,
+            qg_gen_only=True, dispatch="setpoint_slack",
+        )
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq2), atol=1e-6)
+        return float(jnp.sum(dp**2 + dq**2) / n)
+
+    at_nr = residual(v_nr, th_nr)
+    assert at_nr < 2e-3
+    for v, th in [
+        (jnp.ones(n), jnp.zeros(n)),
+        (jnp.zeros(n), jnp.zeros(n)),
+        (8.0 * jnp.ones(n), jnp.zeros(n)),
+    ]:
+        assert residual(v, th) > 100 * at_nr
+
+
+def test_paper_flows_match_pypower_at_solved_dispatch():
+    """With NR's own solved generator outputs, the paper-mode delta_p
+    collapses to the paper-shunt floor — the branch-flow equations agree
+    with pypower's."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+    from gns_tpu.utils.cases import load_case
+    from gns_tpu.utils.prepare import prepare_case
+
+    case = load_case(30)
+    res = newton_raphson_pf(case)
+    buses, lines, gens = prepare_case(case)
+    v = jnp.asarray(res.vm, jnp.float32)
+    theta = jnp.asarray(np.deg2rad(res.va_deg), jnp.float32)
+    pg_nr = jnp.asarray(np.asarray(res.gen, float)[:, 1] / 100.0, jnp.float32)
+    _, qg = global_active_compensation(
+        v, theta, buses, lines, gens, reference_parity=False
+    )
+    dp, dq = local_power_imbalance(
+        v, theta, buses, lines, gens, pg_nr, qg, reference_parity=False
+    )
+    # floor = the fictitious paper shunts (Gs=0.01/bus, utils.py:23-30)
+    assert float(jnp.abs(dp).max()) < 0.03
+
+
+def test_new_conventions_require_paper_mode():
+    buses, lines, gens, v, th = _nr_state(30)
+    with pytest.raises(ValueError):
+        global_active_compensation(
+            v, th, buses, lines, gens, reference_parity=True, qg_gen_only=True
+        )
+    with pytest.raises(ValueError):
+        local_power_imbalance(
+            v, th, buses, lines, gens, jnp.zeros(gens.shape[0]),
+            jnp.zeros(buses.shape[0]), reference_parity=True,
+            zero_slack_dp=True,
+        )
+    from gns_tpu.models.gns import gns_forward
+    from gns_tpu.models.gns import init_gns_params
+    from gns_tpu.utils.config import GNSConfig
+
+    cfg = GNSConfig(K=2, latent_dim=8, hidden_dim=8, reference_parity=True,
+                    qg_gen_only=True)
+    params = init_gns_params(jax.random.key(0), cfg)
+    with pytest.raises(ValueError):
+        gns_forward(params, cfg, buses, lines, gens)
+
+
+def test_gns_forward_nr_convention_runs_and_masks_slack():
+    """Model forward under the NR-convention objective: slack delta_p is
+    zero, load-bus delta_q is live, loss is finite."""
+    from gns_tpu.models.gns import init_gns_params
+    from gns_tpu.models.gns import gns_forward
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.schema import BUS
+
+    buses, lines, gens = _nr_state(30)[:3]
+    cfg = GNSConfig(K=3, latent_dim=8, hidden_dim=8, reference_parity=False,
+                    qg_gen_only=True, dispatch="setpoint_slack")
+    params = init_gns_params(jax.random.key(0), cfg)
+    out = gns_forward(params, cfg, buses, lines, gens)
+    slack = np.asarray(buses[:, BUS["type"]]) == 3
+    assert np.abs(np.asarray(out.delta_p)[slack]).max() == 0.0
+    assert float(np.abs(np.asarray(out.delta_q)).max()) > 1e-3
+    assert np.isfinite(float(out.total_loss))
