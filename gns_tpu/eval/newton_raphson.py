@@ -98,14 +98,17 @@ def newton_raphson_pf(
     def mismatch(v):
         return v * np.conj(ybus @ v) - sbus
 
-    converged = False
-    it = 0
-    while it < max_iter:
+    def f_of(v):
         mis = mismatch(v)
-        f_vec = np.concatenate([mis[pvpq].real, mis[pq].imag])
-        if np.max(np.abs(f_vec)) < tol:
-            converged = True
-            break
+        return np.concatenate([mis[pvpq].real, mis[pq].imag])
+
+    # pypower's newtonpf checks convergence AFTER each update (so a case
+    # that converges on exactly the max_iter-th update counts); mirror that
+    # rather than checking at the top of the loop.
+    f_vec = f_of(v)
+    converged = bool(np.max(np.abs(f_vec)) < tol)
+    it = 0
+    while not converged and it < max_iter:
         it += 1
 
         # Power-flow Jacobian in polar coordinates.
@@ -127,6 +130,9 @@ def newton_raphson_pf(
         va[pvpq] -= dx[:n_pvpq]
         vm[pq] -= dx[n_pvpq:]
         v = vm * np.exp(1j * va)
+
+        f_vec = f_of(v)
+        converged = bool(np.max(np.abs(f_vec)) < tol)
 
     vm = np.abs(v)
     va_deg = np.rad2deg(np.angle(v))

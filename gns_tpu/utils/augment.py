@@ -45,42 +45,88 @@ RANGES = {
 }
 
 
-def augment_case(case: Dict, rng: np.random.Generator) -> Dict:
-    """Return one perturbed copy of `case` (reference: augment_grids.py:28-54)."""
+def augment_case(case: Dict, rng: np.random.Generator, scale: float = 1.0) -> Dict:
+    """Return one perturbed copy of `case` (reference: augment_grids.py:28-54).
+
+    scale: interpolates every perturbation range toward identity. scale=1.0
+    is the reference recipe verbatim (same draws, same RNG stream); smaller
+    values shrink the ranges around their no-op point (1 for multiplicative
+    and tau, 0 for theta-shift) and blend the Pg draw toward the base
+    set-point. The reference ranges were only ever exercised on case14 —
+    jointly they push case300 outside the AC-solvable region essentially
+    always (NR diverges on ~100% of draws), so large-case datasets need
+    scale < 1 to be oracle-comparable at all."""
+
+    def _mul(lo, hi, size):
+        # multiplicative factor around 1 with range shrunk by `scale`
+        return rng.uniform(1.0 + (lo - 1.0) * scale, 1.0 + (hi - 1.0) * scale, size)
+
     c = copy.deepcopy(case)
     bus = np.asarray(c["bus"], dtype=np.float64)
     branch = np.asarray(c["branch"], dtype=np.float64)
     gen = np.asarray(c["gen"], dtype=np.float64)
 
     nb, ne, ng = bus.shape[0], branch.shape[0], gen.shape[0]
-    branch[:, 2] *= rng.uniform(*RANGES["r"], size=ne)
-    branch[:, 3] *= rng.uniform(*RANGES["x"], size=ne)
-    branch[:, 4] *= rng.uniform(*RANGES["b"], size=ne)
-    branch[:, 8] = rng.uniform(*RANGES["tau"], size=ne)
-    branch[:, 9] = rng.uniform(*RANGES["theta_shift"], size=ne)
-    gen[:, 5] = gen[:, 5] * rng.uniform(*RANGES["vg"], size=ng)
+    branch[:, 2] *= _mul(*RANGES["r"], ne)
+    branch[:, 3] *= _mul(*RANGES["x"], ne)
+    branch[:, 4] *= _mul(*RANGES["b"], ne)
+    # tau/theta_shift are OVERWRITES in the reference (augment_grids.py:39-41),
+    # turning every line into a slightly off-nominal transformer; the scaled
+    # variants shrink toward tau=1 / shift=0.
+    branch[:, 8] = _mul(*RANGES["tau"], ne)
+    sh_lo, sh_hi = RANGES["theta_shift"]
+    branch[:, 9] = rng.uniform(sh_lo * scale, sh_hi * scale, size=ne)
+    gen[:, 5] = gen[:, 5] * _mul(*RANGES["vg"], ng)
     span = gen[:, 8] - gen[:, 9]  # Pmax - Pmin
     lo, hi = RANGES["pg"]
-    gen[:, 1] = rng.uniform(gen[:, 9] + lo * span, hi * span, size=ng)
-    bus[:, 2] *= rng.uniform(*RANGES["pd"], size=nb)
+    pg_draw = rng.uniform(gen[:, 9] + lo * span, hi * span, size=ng)
+    gen[:, 1] = (1.0 - scale) * gen[:, 1] + scale * pg_draw
+    bus[:, 2] *= _mul(*RANGES["pd"], nb)
     total_pd = bus[:, 2].sum()
     if total_pd != 0:
         bus[:, 2] *= gen[:, 1].sum() / total_pd  # rebalance: sum Pd == sum Pg
-    bus[:, 3] *= rng.uniform(*RANGES["qd"], size=nb)
+    bus[:, 3] *= _mul(*RANGES["qd"], nb)
 
     c["bus"], c["branch"], c["gen"] = bus, branch, gen
     return c
 
 
 def generate_cases(
-    case_nr: int, num_augmentations: int, seed: int = 0
+    case_nr: int,
+    num_augmentations: int,
+    seed: int = 0,
+    feasible_only: bool = False,
+    max_tries_per_case: int = 200,
+    scale: float = 1.0,
 ) -> Iterator[Dict]:
-    """Yield the base case (index 0) then `num_augmentations` perturbed cases."""
+    """Yield the base case (index 0) then `num_augmentations` perturbed cases.
+
+    feasible_only: rejection-sample each augmentation until Newton-Raphson
+    converges on it. The reference's perturbation ranges were only ever
+    exercised on case14; on case300 they leave the AC-solvable region for
+    ~85-100% of draws (NR diverges, |v| -> 1e9), so accuracy-vs-oracle eval
+    sets MUST filter — comparing against a non-converged runpf iterate is
+    noise. Deterministic given (seed, feasible_only)."""
     base = case_tables.load_case(case_nr)
     yield copy.deepcopy(base)
     rng = np.random.default_rng(seed)
     for _ in range(num_augmentations):
-        yield augment_case(base, rng)
+        if not feasible_only:
+            yield augment_case(base, rng, scale=scale)
+            continue
+        from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+        for _try in range(max_tries_per_case):
+            c = augment_case(base, rng, scale=scale)
+            if newton_raphson_pf(c).success:
+                yield c
+                break
+        else:
+            raise RuntimeError(
+                f"no NR-feasible augmentation of case{case_nr} in "
+                f"{max_tries_per_case} tries — the perturbation ranges are "
+                f"too violent for this case"
+            )
 
 
 def generate_dataset(

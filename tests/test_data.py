@@ -119,3 +119,45 @@ def test_base_case_batch_all_cases():
         b = base_case_batch(nr)
         assert isinstance(b, GridBatch)
         assert b.batch_size == 1
+
+
+def test_augment_scale_one_is_reference_recipe():
+    """scale=1.0 must consume the same RNG stream and produce the same
+    draws as the reference recipe (augment_grids.py:28-54)."""
+    import copy
+
+    base = cases.load_case(30)
+    a = augment.augment_case(copy.deepcopy(base), np.random.default_rng(7))
+    b = augment.augment_case(copy.deepcopy(base), np.random.default_rng(7),
+                             scale=1.0)
+    for k in ("bus", "branch", "gen"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_augment_scale_shrinks_perturbation():
+    """scale -> 0 approaches the base case (tau -> 1, shift -> 0, Pg/loads
+    near base)."""
+    import copy
+
+    base = cases.load_case(30)
+    c = augment.augment_case(copy.deepcopy(base), np.random.default_rng(0),
+                             scale=0.01)
+    br = np.asarray(c["branch"])
+    assert np.abs(br[:, 8] - 1.0).max() < 0.01  # tau ~ 1
+    assert np.abs(br[:, 9]).max() < 0.01  # shift ~ 0
+    # rebalance keeps sum Pd == sum Pg (reference invariant, at any scale)
+    assert abs(np.asarray(c["bus"])[:, 2].sum()
+               - np.asarray(c["gen"])[:, 1].sum()) < 1e-9
+
+
+def test_feasible_only_generation():
+    """feasible_only rejection-samples to NR-convergent grids; case300 at
+    the reference's full perturbation strength is essentially never
+    solvable (why the option exists), at scale=0.5 it is."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    got = list(augment.generate_cases(118, 4, seed=1, feasible_only=True))[1:]
+    assert all(newton_raphson_pf(c).success for c in got)
+    got = list(augment.generate_cases(300, 2, seed=1, feasible_only=True,
+                                      scale=0.5))[1:]
+    assert all(newton_raphson_pf(c).success for c in got)

@@ -11,6 +11,8 @@ voltage branch). Tests the candidate fixes side by side on one case:
                    buses (fixes quirk Q8's cancelling delta_q)
   nrconv           qg_gen_only=True + dispatch="setpoint_slack": the full
                    NR-convention objective whose minimum IS the NR solution
+  parity           no training: score the shipped reference-parity
+                   checkpoint on the same held-out grids (baseline row)
 
 Each variant trains at the train_pretrained.py budget (1024 grids, 400
 epochs, patience 20) and is scored on 64 held-out generator grids (seed
@@ -134,6 +136,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--eval-grids", type=int, default=64)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="augmentation strength (utils/augment.py); case300 "
+                         "needs <=0.5 to stay NR-feasible")
+    ap.add_argument("--feasible-eval", action="store_true",
+                    help="rejection-sample held-out grids until NR converges")
     ap.add_argument("--variants", nargs="+",
                     default=["base", "warm", "anchor:1.0:1600"])
     args = ap.parse_args()
@@ -151,11 +158,19 @@ def main():
         multiple_phi=True, reference_parity=False, seed=0,
         batch_size=128,
     )
-    data = batch_from_cases(list(generate_cases(args.case, args.grids, seed=0))[1:])
-    held_cases = list(generate_cases(args.case, args.eval_grids, seed=12345))[1:]
+    data = batch_from_cases(
+        list(generate_cases(args.case, args.grids, seed=0, scale=args.scale))[1:]
+    )
+    held_cases = list(generate_cases(
+        args.case, args.eval_grids, seed=12345, scale=args.scale,
+        feasible_only=args.feasible_eval,
+    ))[1:]
     held = batch_from_cases(held_cases)
     held_topo = extract_shared_topology(held)
     nr = run_nr_oracle(held_cases)
+    print(json.dumps({"case": args.case, "scale": args.scale,
+                      "nr_converged": int(np.sum(nr["converged"])),
+                      "eval_grids": len(held_cases)}), flush=True)
 
     for variant in args.variants:
         vcfg = cfg
@@ -164,9 +179,22 @@ def main():
                 vcfg = vcfg.replace(qg_gen_only=True)
             elif part == "nrconv":
                 vcfg = vcfg.replace(qg_gen_only=True, dispatch="setpoint_slack")
-        t0 = time.perf_counter()
-        best, history = train_variant(vcfg, data, variant, args.epochs, args.patience)
-        train_s = time.perf_counter() - t0
+        if variant == "parity":
+            from gns_tpu.models.pretrained import load_pretrained
+
+            params, vcfg = load_pretrained(args.case)
+
+            class _Best:
+                pass
+
+            best = _Best(); best.params = params
+            history = [{"epoch": 0, "final_loss": float("nan")}]
+            train_s = 0.0
+        else:
+            t0 = time.perf_counter()
+            best, history = train_variant(vcfg, data, variant, args.epochs,
+                                          args.patience)
+            train_s = time.perf_counter() - t0
         out = gns_forward_batch(best.params, vcfg, held, method="auto", topo=held_topo)
         m = compute_metrics(nr, run_gns(best.params, vcfg, held_cases))
         print(json.dumps({
@@ -174,8 +202,9 @@ def main():
             "variant": variant,
             "epochs_run": len(history),
             "train_sec": round(train_s, 1),
-            "best_train_residual": round(
-                min(h["final_loss"] for h in history), 5),
+            "best_train_residual": (
+                None if variant == "parity"
+                else round(min(h["final_loss"] for h in history), 5)),
             "heldout_residual": round(float(np.mean(np.asarray(out.last_loss))), 5),
             "v_mse_vs_nr": round(m["v_mse"], 6),
             "v_abs_mean": round(m["v_abs_diff_mean"], 5),
