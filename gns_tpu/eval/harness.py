@@ -44,8 +44,40 @@ def _np_active_line_flow(v, theta, x, src, dst):
     return (1.0 / x) * v[src] * v[dst] * np.sin(theta[src] - theta[dst])
 
 
-def run_nr_oracle(cases: List[Dict]):
-    """Solve each case with NR; returns dict of stacked results + times."""
+def run_nr_oracle(cases: List[Dict], backend: str = "scipy"):
+    """Solve each case with NR; returns dict of stacked results + times.
+
+    backend="scipy": the float64 sequential oracle (eval.newton_raphson,
+    pypower-equivalent; the parity-grade ground truth). backend="batched":
+    the accelerator-batched solver (eval.nr_batched) — one dispatch for the
+    whole shared-topology set, float32 (~1e-6 p.u. agreement with scipy);
+    per-grid time is the amortized batch wall time.
+    """
+    if backend == "batched":
+        from gns_tpu.eval.nr_batched import solve_batched
+
+        t0 = time.perf_counter()
+        res = solve_batched(cases)
+        per_grid = (time.perf_counter() - t0) / len(cases)
+        flows = []
+        for i, case in enumerate(cases):
+            br = np.asarray(case["branch"], dtype=np.float64)
+            flows.append(
+                _np_active_line_flow(
+                    res["v"][i].astype(np.float64),
+                    np.deg2rad(res["theta_deg"][i].astype(np.float64)),
+                    br[:, 3], br[:, 0], br[:, 1],
+                )
+            )
+        return {
+            "time": np.full(len(cases), per_grid, np.float32),
+            "v": res["v"],
+            "theta_deg": res["theta_deg"],
+            "line_flow": np.stack(flows).astype(np.float32),
+            "converged": res["converged"],
+        }
+    if backend != "scipy":
+        raise ValueError(f"backend must be scipy/batched, got {backend!r}")
     times, v_out, th_out, flows, ok = [], [], [], [], []
     for case in cases:
         t0 = time.perf_counter()

@@ -100,3 +100,27 @@ def test_compute_metrics_identical_inputs():
     m = compute_metrics(nr, gns)
     assert m["v_mse"] == 0 and m["theta_mse"] == 0
     assert m["alf_pct_median"] == 0
+
+
+def test_batched_nr_matches_scipy_oracle():
+    """eval.nr_batched: one batched dispatch solves a shared-topology set;
+    agreement with the float64 sequential oracle ~1e-5 p.u. (the float32
+    mismatch floor), same convergence verdicts."""
+    from gns_tpu.eval.nr_batched import solve_batched
+    from gns_tpu.utils.augment import generate_cases
+
+    cases_ = list(generate_cases(30, 6, seed=3, feasible_only=True))[1:]
+    res = solve_batched(cases_, chunk_size=4)  # exercises chunking too
+    assert res["converged"].all()
+    for i, c in enumerate(cases_):
+        ref = newton_raphson_pf(c)
+        assert ref.success
+        np.testing.assert_allclose(res["v"][i], ref.vm, atol=2e-5)
+        np.testing.assert_allclose(
+            res["theta_deg"][i], ref.va_deg, atol=2e-3
+        )
+
+    # harness backend path produces the same dict contract
+    nr = run_nr_oracle(cases_, backend="batched")
+    assert nr["converged"].all()
+    assert nr["v"].shape == (6, 30) and nr["line_flow"].shape[0] == 6
