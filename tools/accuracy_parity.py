@@ -143,6 +143,11 @@ def main():
                          "comparison); 'paper' trains on the textbook AC "
                          "equations (reference_parity=False) — results go "
                          "under the 'gns_tpu_paper' key")
+    ap.add_argument("--qg-gen-only", action="store_true",
+                    help="paper mode with the quirk-Q8 fix (reactive "
+                         "generation only at generator buses, so the loss "
+                         "carries a live load-bus reactive residual; "
+                         "utils/config.py qg_gen_only)")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16
@@ -185,7 +190,8 @@ def main():
                         multiple_phi=mphi, epochs=args.epochs,
                         nr_samples=args.nr_samples, seed=seed,
                         batch_size=min(128, args.nr_samples),
-                        reference_parity=(args.physics == "parity"))
+                        reference_parity=(args.physics == "parity"),
+                        qg_gen_only=args.qg_gen_only)
         data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
         t0 = time.perf_counter()
         best, history = train(cfg, data, log_fn=lambda r: (

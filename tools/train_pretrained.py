@@ -33,9 +33,17 @@ def main():
     ap.add_argument("--eval-grids", type=int, default=64)
     ap.add_argument("--physics", choices=["parity", "paper"], default="parity",
                     help="'paper' trains on the textbook AC residual "
-                         "(reference_parity=False) — measured 6x better "
-                         "v MSE vs the NR oracle (ACCURACY.md); saved "
-                         "with a _paper filename suffix")
+                         "(reference_parity=False) with qg_gen_only=True "
+                         "(the quirk-Q8 fix: live reactive residual at load "
+                         "buses; without it large-case training converges "
+                         "to wrong-voltage branches) — saved with a _paper "
+                         "filename suffix")
+    ap.add_argument("--dispatch", choices=["lambda", "setpoint_slack"],
+                    default="lambda",
+                    help="paper-mode generator convention (utils/config.py)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="augmentation strength; case300 needs <=0.5 to "
+                         "stay NR-feasible (utils/augment.py)")
     args = ap.parse_args()
 
     import jax
@@ -49,21 +57,29 @@ def main():
     from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
 
     for case in args.cases:
+        paper = args.physics == "paper"
         cfg = GNSConfig(
             case_nr=case, K=4, latent_dim=20, hidden_dim=10,
-            multiple_phi=True, reference_parity=(args.physics == "parity"),
+            multiple_phi=True, reference_parity=not paper,
+            qg_gen_only=paper, dispatch=args.dispatch if paper else "lambda",
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
-        data = batch_from_cases(list(generate_cases(case, args.grids, seed=0))[1:])
+        data = batch_from_cases(
+            list(generate_cases(case, args.grids, seed=0, scale=args.scale))[1:]
+        )
         t0 = time.perf_counter()
         best, history = train(cfg, data)
         train_s = time.perf_counter() - t0
 
         # Held-out evaluation: disjoint seed, physics residual of the model.
-        held = batch_from_cases(
-            list(generate_cases(case, args.eval_grids, seed=12345))[1:]
-        )
+        # Paper-mode held-out grids are NR-feasibility-filtered so the
+        # oracle comparison below is defined on every grid.
+        held_cases = list(generate_cases(
+            case, args.eval_grids, seed=12345, scale=args.scale,
+            feasible_only=paper,
+        ))[1:]
+        held = batch_from_cases(held_cases)
         out = gns_forward_batch(
             best.params, cfg, held, method="auto",
             topo=extract_shared_topology(held),
@@ -73,16 +89,13 @@ def main():
         # Paper-mode checkpoints are accuracy products: also score v MSE
         # against the Newton-Raphson oracle on the held-out grids.
         v_mse = None
-        if args.physics == "paper":
+        if paper:
             from gns_tpu.eval.harness import (
                 compute_metrics,
                 run_gns,
                 run_nr_oracle,
             )
 
-            held_cases = list(
-                generate_cases(case, args.eval_grids, seed=12345)
-            )[1:]
             nr = run_nr_oracle(held_cases)
             m = compute_metrics(nr, run_gns(best.params, cfg, held_cases))
             v_mse = m["v_mse"]
