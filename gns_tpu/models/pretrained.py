@@ -23,6 +23,15 @@ Variant checkpoints (tools/train_pretrained_extras.py):
   "multi" (one model, all five cases, train_multi round-robin): held-out
   residuals c9 0.051 / c14 0.081 / c30 0.131 / c118 0.033 / c300 0.064 —
   a single parameter set within ~2-4x of the per-case specialists.
+
+Paper-physics checkpoints ("{c}-paper", tools/train_pretrained.py
+--physics paper; textbook residual + the quirk-Q8 fix qg_gen_only): v MSE
+vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
+  c9 0.00046 | c14 0.00119 | c30 0.00285 | c118 0.00106 | c300 0.00078
+  (c300 at augmentation scale=0.5; see utils/augment.py). The parity
+  checkpoints score 0.0170 (c118) / 0.0104 (c300) on the same protocol:
+  the paper models are 13-16x closer to the oracle. Parity checkpoints
+  remain the default for reference-identical behavior.
 """
 
 from __future__ import annotations
@@ -53,20 +62,23 @@ _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),
 )
-# "14-paper" — trained on the textbook AC residual instead of the
-# reference's quirky one (reference_parity=False; SURVEY.md §2.4 Q2/Q4).
-# Measured on the equal-budget accuracy protocol: 6.2x better v MSE vs
-# the Newton-Raphson oracle than the reference (0.0067 vs 0.0417;
-# ACCURACY.md); this shipped 400-epoch/1024-grid checkpoint scores
-# v MSE 0.0149 on its own held-out generator grids. Only case14 ships:
-# at this budget the larger cases' paper-mode training converges to
-# SPURIOUS power-flow solutions (small residual, wrong v branch — e.g.
-# case300 v MSE vs NR explodes while the residual stays 0.036); see
-# ROADMAP.md for the open investigation.
-_PRETRAINED["14-paper"] = (
-    "pretrained_c14_K4_L20_H10_paper.pth",
-    dict(case_nr=14, reference_parity=False, **_BEST),
-)
+# "{c}-paper" — trained on the textbook AC residual instead of the
+# reference's quirky one (reference_parity=False) WITH the quirk-Q8 fix
+# (qg_gen_only=True: reactive generation only at generator buses, so the
+# loss carries a live load-bus reactive residual; SURVEY.md §2.4 Q8).
+# Without that fix the loss has NO reactive signal and large-case
+# training converges to wrong-voltage branches (case30 v MSE vs NR ~60);
+# with it the paper checkpoints beat the parity ones against the
+# Newton-Raphson oracle by an order of magnitude (tools/exp_spurious.py,
+# 1024 grids / 400 epochs / 64 NR-feasible held-out grids: case30 v MSE
+# 0.0030, case118 0.0011 vs parity 0.0170). case300 trains/evaluates at
+# augmentation scale=0.5 — the reference's full perturbation strength
+# leaves case300 outside the AC-solvable region (utils/augment.py).
+for c in (9, 14, 30, 118, 300):
+    _PRETRAINED[f"{c}-paper"] = (
+        f"pretrained_c{c}_K4_L20_H10_paper.pth",
+        dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
+    )
 
 
 def available_cases():

@@ -49,11 +49,17 @@ def test_pretrained_residual_beats_random(case):
 
 
 def test_variant_checkpoints_load():
-    for key, case in (("300-deep", 300), ("multi", 14), ("14-paper", 14)):
+    variants = [("300-deep", 300, 1.0), ("multi", 14, 1.0)] + [
+        (f"{c}-paper", c, 0.5 if c == 300 else 1.0)
+        for c in (9, 14, 30, 118, 300)
+    ]
+    for key, case, scale in variants:
         if key not in available_cases():
             pytest.skip(f"{key} not shipped")
         params, cfg = load_pretrained(key)
-        batch = batch_from_cases(list(generate_cases(case, 4, seed=5))[1:])
+        batch = batch_from_cases(
+            list(generate_cases(case, 4, seed=5, scale=scale))[1:]
+        )
         out = gns_forward_batch(params, cfg.replace(case_nr=case), batch)
         last = float(np.mean(np.asarray(out.last_loss)))
         assert last == last and last < 1.0, (key, last)
