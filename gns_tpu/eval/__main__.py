@@ -30,6 +30,17 @@ def main():
     p.add_argument("--from-base-case", action="store_true",
                    help="generate eval grids in-memory from the base case instead of pickles")
     p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="augmentation strength for --from-base-case grids "
+                        "(case300 needs <=0.5 to stay NR-solvable)")
+    p.add_argument("--feasible-only", action="store_true",
+                   help="rejection-sample --from-base-case grids until the "
+                        "NR oracle converges on them")
+    p.add_argument("--nr-backend", choices=["scipy", "batched"],
+                   default="scipy",
+                   help="oracle: scipy = sequential float64 (parity-grade); "
+                        "batched = accelerator-batched float32 "
+                        "(eval/nr_batched.py, one dispatch per set)")
     p.add_argument("--method", default="auto")
     p.add_argument("--plot", default="images/per_bus_errors.png")
     p.add_argument("--json-out", default=None)
@@ -80,14 +91,18 @@ def main():
     if args.from_base_case:
         from gns_tpu.utils.augment import generate_cases
 
-        cases = list(generate_cases(args.case, args.samples - 1, seed=args.seed))
+        cases = list(generate_cases(
+            args.case, args.samples - 1, seed=args.seed, scale=args.scale,
+            feasible_only=args.feasible_only,
+        ))
     else:
         cases = load_eval_cases(
             args.case, args.samples, data_dir=args.data_dir,
             total_grids=args.total_grids,
         )
 
-    m = evaluate(params, cfg, cases, method=args.method, plot_path=args.plot)
+    m = evaluate(params, cfg, cases, method=args.method, plot_path=args.plot,
+                 nr_backend=args.nr_backend)
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(m, f, indent=2)

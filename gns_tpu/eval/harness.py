@@ -260,9 +260,10 @@ def evaluate(
     method: str = "auto",
     plot_path: Optional[str] = None,
     verbose: bool = True,
+    nr_backend: str = "scipy",
 ) -> Dict:
     """Full evaluation: NR + GNS on the SAME grids (Q6 fixed), metrics."""
-    nr = run_nr_oracle(cases)
+    nr = run_nr_oracle(cases, backend=nr_backend)
     gns = run_gns(params, cfg, cases, method=method)
     m = compute_metrics(nr, gns)
     if plot_path:

@@ -5,18 +5,29 @@ The reference's oracle solves grids ONE AT A TIME with pypower's runpf
 1024 grids). Augmented grids of one case share their topology (bus types,
 branch endpoints — the augmentation perturbs only electrical parameters,
 GNS/augment_grids.py:28-54), so the whole evaluation set can be solved as a
-single batched program: dense per-grid Ybus, batched polar Jacobian, and a
-batched LU solve (`jnp.linalg.solve`) that maps onto the MXU — thousands of
-Newton solves per dispatch instead of one.
+single batched program: dense per-grid G/B admittance matrices, the batched
+polar Jacobian in its real H/N/J/L block form, and a batched QR solve that
+maps onto the MXU — thousands of Newton solves per dispatch instead of one.
 
-Numerics: the device solve runs in float32/complex64 (TPU-native); the
-attainable mismatch floor is ~1e-5 p.u. (vs the scipy float64 oracle's
-1e-8), which is 2-3 orders below the GNS model errors this oracle measures.
-For parity-grade ground truth keep `eval.newton_raphson` (scipy, float64);
-this module is the throughput path: fast evaluation sweeps, dataset
-feasibility filtering, and a standalone batched solver.
+Everything is REAL float32 by design: the axon TPU relay implements neither
+complex arithmetic nor LU (getrf), but batched QR + triangular_solve are
+native, and the polar power-flow Jacobian has well-known real closed forms
+(the same identities pypower's dSbus_dV expands to):
 
-Shapes are static per (case, batch-size): jit compiles once per bucket.
+  P_m = V_m sum_k V_k (G_mk cos th_mk + B_mk sin th_mk)
+  Q_m = V_m sum_k V_k (G_mk sin th_mk - B_mk cos th_mk)
+  H = dP/dth: off-diag  V_m V_k (G sin - B cos);  diag -Q_m - B_mm V_m^2
+  N = dP/dV:  off-diag  V_m (G cos + B sin);      diag  P_m/V_m + G_mm V_m
+  J = dQ/dth: off-diag -V_m V_k (G cos + B sin);  diag  P_m - G_mm V_m^2
+  L = dQ/dV:  off-diag  V_m (G sin - B cos);      diag  Q_m/V_m - B_mm V_m
+
+Numerics: float32's attainable mismatch floor is ~1e-5 p.u. (vs the scipy
+float64 oracle's 1e-8), which is 2-3 orders below the GNS model errors this
+oracle measures. For parity-grade ground truth keep `eval.newton_raphson`
+(scipy, float64); this module is the throughput path: fast evaluation
+sweeps, dataset feasibility filtering, and a standalone batched solver.
+
+Shapes are static per (case, chunk-size): jit compiles once per bucket.
 """
 
 from __future__ import annotations
@@ -33,8 +44,10 @@ import jax.numpy as jnp
 class NRBatch(NamedTuple):
     """Host-prepared batched NR problem (one shared-topology case set)."""
 
-    ybus: np.ndarray  # (S, N, N) complex64 dense bus admittance
-    sbus: np.ndarray  # (S, N) complex64 scheduled net injections, p.u.
+    gmat: np.ndarray  # (S, N, N) float32 dense conductance matrix
+    bmat: np.ndarray  # (S, N, N) float32 dense susceptance matrix
+    p_sched: np.ndarray  # (S, N) float32 scheduled net active injection, p.u.
+    q_sched: np.ndarray  # (S, N) float32 scheduled net reactive injection
     vm0: np.ndarray  # (S, N) float32 initial |v| (gen buses at vg)
     va0: np.ndarray  # (S, N) float32 initial angle, radians
     pvpq: np.ndarray  # (M1,) int32 PV+PQ bus indices (shared across batch)
@@ -44,59 +57,120 @@ class NRBatch(NamedTuple):
 def build_nr_batch(cases: List[Dict]) -> NRBatch:
     """Pack pypower-style case dicts into one batched problem.
 
-    All cases must share bus types and branch endpoints (true for any
-    augmented set of one base case). Raises if they do not.
+    All cases must share bus types, branch endpoints, and consecutive
+    1..N bus numbering (true for any augmented set of one base case).
+    Raises if they do not. The whole assembly is vectorized numpy over
+    the batch — one fused `np.add.at` builds every dense Ybus at once
+    (the per-case scipy path costs more than the device solve it feeds).
     """
-    from gns_tpu.eval.newton_raphson import make_ybus
-
     bus0 = np.asarray(cases[0]["bus"], np.float64)
+    br0 = np.asarray(cases[0]["branch"], np.float64)
+    gen0 = np.asarray(cases[0]["gen"], np.float64)
     types = bus0[:, 1].astype(int)
     pv = np.flatnonzero(types == 2)
     pq = np.flatnonzero(types == 1)
     pvpq = np.concatenate([pv, pq]).astype(np.int32)
 
-    n = bus0.shape[0]
+    n, e, ng = bus0.shape[0], br0.shape[0], gen0.shape[0]
+    if not np.array_equal(bus0[:, 0].astype(int), np.arange(1, n + 1)):
+        raise ValueError("batched NR requires consecutive 1..N bus ids")
     s = len(cases)
-    ybus = np.empty((s, n, n), np.complex64)
-    sbus = np.empty((s, n), np.complex64)
-    vm0 = np.empty((s, n), np.float32)
-    va0 = np.empty((s, n), np.float32)
+
+    bus = np.empty((s, n, bus0.shape[1]), np.float64)
+    branch = np.empty((s, e, br0.shape[1]), np.float64)
+    gen = np.empty((s, ng, gen0.shape[1]), np.float64)
+    base = np.empty((s,), np.float64)
     for i, case in enumerate(cases):
-        bus = np.asarray(case["bus"], np.float64)
-        gen = np.asarray(case["gen"], np.float64)
-        if not np.array_equal(bus[:, 1].astype(int), types):
-            raise ValueError("batched NR requires identical bus types")
-        yb, bus_index, _ = make_ybus(case)
-        ybus[i] = yb.toarray()
-        gstat = gen[:, 7] if gen.shape[1] > 7 else np.ones(gen.shape[0])
-        gbus = np.array([bus_index[int(x)] for x in gen[:, 0]])
-        pg = np.zeros(n)
-        qg = np.zeros(n)
-        np.add.at(pg, gbus, gen[:, 1] * gstat)
-        np.add.at(qg, gbus, gen[:, 2] * gstat)
-        base = case["baseMVA"]
-        sbus[i] = ((pg - bus[:, 2]) + 1j * (qg - bus[:, 3])) / base
-        vm = bus[:, 7].copy()
-        vm[gbus[gstat > 0]] = gen[gstat > 0, 5]
-        vm0[i] = vm
-        va0[i] = np.deg2rad(bus[:, 8])
-    return NRBatch(ybus, sbus, vm0, va0, pvpq, pq.astype(np.int32))
+        bus[i] = np.asarray(case["bus"], np.float64)
+        branch[i] = np.asarray(case["branch"], np.float64)
+        gen[i] = np.asarray(case["gen"], np.float64)
+        base[i] = case["baseMVA"]
+    if not (bus[:, :, 1].astype(int) == types).all():
+        raise ValueError("batched NR requires identical bus types")
+    f = br0[:, 0].astype(np.int64) - 1
+    t = br0[:, 1].astype(np.int64) - 1
+    if not (
+        (branch[:, :, 0].astype(np.int64) - 1 == f).all()
+        and (branch[:, :, 1].astype(np.int64) - 1 == t).all()
+    ):
+        raise ValueError("batched NR requires identical branch endpoints")
+
+    # --- vectorized Ybus (MATPOWER conventions, cf. newton_raphson.make_ybus)
+    status = branch[:, :, 10] if br0.shape[1] > 10 else np.ones((s, e))
+    ys = status / (branch[:, :, 2] + 1j * branch[:, :, 3])
+    bc = status * branch[:, :, 4]
+    tap = np.where(branch[:, :, 8] == 0, 1.0, branch[:, :, 8]) * np.exp(
+        1j * np.deg2rad(branch[:, :, 9])
+    )
+    ytt = ys + 1j * bc / 2.0
+    yff = ytt / (tap * np.conj(tap))
+    yft = -ys / np.conj(tap)
+    ytf = -ys / tap
+    ysh = (bus[:, :, 4] + 1j * bus[:, :, 5]) / base[:, None]
+
+    ybus = np.zeros((s, n, n), np.complex128)
+    flat = ybus.reshape(s, n * n)
+    np.add.at(flat, (slice(None), f * n + t), yft)
+    np.add.at(flat, (slice(None), t * n + f), ytf)
+    np.add.at(flat, (slice(None), f * n + f), yff)
+    np.add.at(flat, (slice(None), t * n + t), ytt)
+    flat[:, np.arange(n) * n + np.arange(n)] += ysh
+
+    # --- scheduled injections and initial voltage
+    gbus = gen0[:, 0].astype(np.int64) - 1
+    if not (gen[:, :, 0].astype(np.int64) - 1 == gbus).all():
+        raise ValueError("batched NR requires identical generator buses")
+    gstat = gen[:, :, 7] if gen0.shape[1] > 7 else np.ones((s, ng))
+    pg = np.zeros((s, n))
+    qg = np.zeros((s, n))
+    np.add.at(pg, (slice(None), gbus), gen[:, :, 1] * gstat)
+    np.add.at(qg, (slice(None), gbus), gen[:, :, 2] * gstat)
+    p_sched = (pg - bus[:, :, 2]) / base[:, None]
+    q_sched = (qg - bus[:, :, 3]) / base[:, None]
+
+    vm0 = bus[:, :, 7].copy()
+    # in-service generator set-points win (runpf semantics); batched
+    # scatter of vg where gstat > 0
+    rows = np.repeat(np.arange(s), ng)
+    cols = np.tile(gbus, s)
+    on = (gstat > 0).ravel()
+    vm0[rows[on], cols[on]] = (gen[:, :, 5]).ravel()[on]
+    va0 = np.deg2rad(bus[:, :, 8])
+
+    return NRBatch(
+        ybus.real.astype(np.float32), ybus.imag.astype(np.float32),
+        p_sched.astype(np.float32), q_sched.astype(np.float32),
+        vm0.astype(np.float32), va0.astype(np.float32),
+        pvpq, pq.astype(np.int32),
+    )
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
-def _nr_solve(ybus, sbus, vm0, va0, pvpq, pq, tol: float = 1e-5,
-              max_iter: int = 20):
-    """Batched full-Newton polar power flow. Returns (vm, va, conv, iters)."""
-    n_pvpq = pvpq.shape[0]
+def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
+              tol: float = 1e-5, max_iter: int = 20):
+    """Batched full-Newton polar power flow, real arithmetic + QR solve.
 
-    def mismatch(vm, va):
-        v = vm * jnp.exp(1j * va)
-        i_bus = jnp.einsum("snm,sm->sn", ybus, v)
-        mis = v * jnp.conj(i_bus) - sbus
-        f = jnp.concatenate(
-            [jnp.real(mis[:, pvpq]), jnp.imag(mis[:, pq])], axis=1
+    Returns (vm, va, conv, iters)."""
+    n = vm0.shape[1]
+    n_pvpq = pvpq.shape[0]
+    eye = jnp.eye(n, dtype=vm0.dtype)
+
+    def trig_terms(vm, va):
+        # cos/sin(th_m - th_k) as rank-1 combinations; A1/A2 are the
+        # G cos + B sin / G sin - B cos kernels of every formula above.
+        c, s = jnp.cos(va), jnp.sin(va)
+        cosmk = c[:, :, None] * c[:, None, :] + s[:, :, None] * s[:, None, :]
+        sinmk = s[:, :, None] * c[:, None, :] - c[:, :, None] * s[:, None, :]
+        a1 = gmat * cosmk + bmat * sinmk
+        a2 = gmat * sinmk - bmat * cosmk
+        p = vm * jnp.einsum("snk,sk->sn", a1, vm)
+        q = vm * jnp.einsum("snk,sk->sn", a2, vm)
+        return a1, a2, p, q
+
+    def f_of(p, q):
+        return jnp.concatenate(
+            [(p - p_sched)[:, pvpq], (q - q_sched)[:, pq]], axis=1
         )
-        return f, v, i_bus
 
     def cond(state):
         vm, va, conv, it = state
@@ -104,45 +178,58 @@ def _nr_solve(ybus, sbus, vm0, va0, pvpq, pq, tol: float = 1e-5,
 
     def body(state):
         vm, va, conv, it = state
-        f, v, i_bus = mismatch(vm, va)
+        a1, a2, p, q = trig_terms(vm, va)
+        f = f_of(p, q)
 
-        # Polar Jacobian, dense batched (pypower dSbus_dV identities):
-        #   dS/dVa = j V (conj(diag(I) - Ybus diag(V)))
-        #   dS/dVm = diag(V) conj(Ybus diag(Vnorm)) + conj(diag(I)) diag(Vnorm)
-        vnorm = v / jnp.maximum(vm, 1e-12)
-        yv = ybus * v[:, None, :]  # (S,N,N): Y_mk V_k
-        ds_dva = 1j * v[:, :, None] * jnp.conj(
-            jnp.eye(v.shape[1], dtype=v.dtype) * i_bus[:, :, None] - yv
-        )
-        yvn = ybus * vnorm[:, None, :]
-        ds_dvm = v[:, :, None] * jnp.conj(yvn)
-        diag_term = jnp.conj(i_bus) * vnorm
-        ds_dvm = ds_dvm + jnp.eye(v.shape[1], dtype=v.dtype) * diag_term[:, :, None]
+        vv = vm[:, :, None] * vm[:, None, :]
+        g_diag = jnp.einsum("snn->sn", gmat)
+        b_diag = jnp.einsum("snn->sn", bmat)
+        vm_safe = jnp.maximum(vm, 1e-12)
 
-        j11 = jnp.real(ds_dva[:, pvpq][:, :, pvpq])
-        j12 = jnp.real(ds_dvm[:, pvpq][:, :, pq])
-        j21 = jnp.imag(ds_dva[:, pq][:, :, pvpq])
-        j22 = jnp.imag(ds_dvm[:, pq][:, :, pq])
+        def with_diag(mat, d):
+            # off-diagonal of `mat`, closed-form diagonal `d`
+            return mat * (1.0 - eye) + eye * d[:, :, None]
+
+        h = with_diag(vv * a2, -q - b_diag * vm * vm)
+        nmat = with_diag(vm[:, :, None] * a1, p / vm_safe + g_diag * vm)
+        jmat = with_diag(-vv * a1, p - g_diag * vm * vm)
+        lmat = with_diag(vm[:, :, None] * a2, q / vm_safe - b_diag * vm)
+
         jac = jnp.concatenate(
             [
-                jnp.concatenate([j11, j12], axis=2),
-                jnp.concatenate([j21, j22], axis=2),
+                jnp.concatenate([h[:, pvpq][:, :, pvpq],
+                                 nmat[:, pvpq][:, :, pq]], axis=2),
+                jnp.concatenate([jmat[:, pq][:, :, pvpq],
+                                 lmat[:, pq][:, :, pq]], axis=2),
             ],
             axis=1,
         )
-        dx = jnp.linalg.solve(jac, f[..., None])[..., 0]
+        # Batched LU + two triangular solves. (jnp.linalg.solve's lowering
+        # is unimplemented on the axon TPU relay, but the underlying
+        # lax.linalg.lu / triangular_solve primitives are native; QR also
+        # works but measured ~8x slower at case300 sizes.)
+        lu, _, perm = jax.lax.linalg.lu(jac)
+        rhs = jnp.take_along_axis(f, perm, axis=1)[..., None]
+        y = jax.lax.linalg.triangular_solve(
+            lu, rhs, left_side=True, lower=True, unit_diagonal=True
+        )
+        dx = jax.lax.linalg.triangular_solve(
+            lu, y, left_side=True, lower=False
+        )[..., 0]
 
         # frozen grids (already converged) stop moving
         upd = jnp.where(conv[:, None], 0.0, dx)
         va = va.at[:, pvpq].add(-upd[:, :n_pvpq])
         vm = vm.at[:, pq].add(-upd[:, n_pvpq:])
 
-        f_new, _, _ = mismatch(vm, va)
-        conv = jnp.logical_or(conv, jnp.max(jnp.abs(f_new), axis=1) < tol)
+        _, _, p, q = trig_terms(vm, va)
+        conv = jnp.logical_or(
+            conv, jnp.max(jnp.abs(f_of(p, q)), axis=1) < tol
+        )
         return vm, va, conv, it + 1
 
-    f0, _, _ = mismatch(vm0, va0)
-    conv0 = jnp.max(jnp.abs(f0), axis=1) < tol
+    _, _, p0, q0 = trig_terms(vm0, va0)
+    conv0 = jnp.max(jnp.abs(f_of(p0, q0)), axis=1) < tol
     it0 = jnp.asarray(0, jnp.int32)
     vm, va, conv, it = jax.lax.while_loop(cond, body, (vm0, va0, conv0, it0))
     return vm, va, conv, it
@@ -156,8 +243,8 @@ def solve_batched(
 ) -> Dict:
     """Solve every case; returns {"v", "theta_deg", "converged", "iterations"}.
 
-    Chunks the batch so the dense (chunk, N, N) Ybus stays small (case300 at
-    256 grids is ~184 MB complex64). Non-converged grids keep their last
+    Chunks the batch so the dense (chunk, N, N) G/B matrices stay small
+    (case300 at 256 grids is ~184 MB). Non-converged grids keep their last
     iterate, flagged False — callers filter exactly as with the scipy oracle
     (harness.compute_metrics drops them).
     """
@@ -165,8 +252,10 @@ def solve_batched(
     for lo in range(0, len(cases), chunk_size):
         nb = build_nr_batch(cases[lo:lo + chunk_size])
         vm, va, conv, it = _nr_solve(
-            jnp.asarray(nb.ybus), jnp.asarray(nb.sbus), jnp.asarray(nb.vm0),
-            jnp.asarray(nb.va0), jnp.asarray(nb.pvpq), jnp.asarray(nb.pq),
+            jnp.asarray(nb.gmat), jnp.asarray(nb.bmat),
+            jnp.asarray(nb.p_sched), jnp.asarray(nb.q_sched),
+            jnp.asarray(nb.vm0), jnp.asarray(nb.va0),
+            jnp.asarray(nb.pvpq), jnp.asarray(nb.pq),
             tol=tol, max_iter=max_iter,
         )
         vms.append(np.asarray(vm))
