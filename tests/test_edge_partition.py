@@ -152,3 +152,26 @@ def test_parity_mode_rejected():
     cfg = CFG.replace(reference_parity=True)
     with pytest.raises(ValueError, match="reference_parity"):
         make_edge_partitioned_forward(cfg, mesh)
+
+
+def test_edge_partitioned_paper_conventions_match(data300):
+    """qg_gen_only + dispatch='setpoint_slack' must survive the edge
+    partition: sharded forward == single-device forward (the per-bus
+    masks are bus-local; only flow sums cross the gp axis)."""
+    cfg = CFG.replace(qg_gen_only=True, dispatch="setpoint_slack")
+    mesh = make_mesh(dp=2, gp=4)
+    params = init_gns_params(jax.random.key(1), cfg)
+    ref = gns_forward_batch(params, cfg, data300, method="onehot")
+    fwd = make_edge_partitioned_forward(cfg, mesh, method="onehot")
+    out = fwd(params, data300)
+    np.testing.assert_allclose(
+        np.asarray(out.v), np.asarray(ref.v), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.delta_q), np.asarray(ref.delta_q), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.total_loss), np.asarray(ref.total_loss), rtol=2e-5
+    )
+    # the reactive residual must actually be live (Q8 fixed) and slack dp zero
+    assert float(np.abs(np.asarray(out.delta_q)).max()) > 1e-3
