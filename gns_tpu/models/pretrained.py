@@ -32,6 +32,8 @@ vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
   checkpoints score 0.0170 (c118) / 0.0104 (c300) on the same protocol:
   the paper models are 13-16x closer to the oracle. Parity checkpoints
   remain the default for reference-identical behavior.
+  "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039 — the
+  most accurate shipped model.
 """
 
 from __future__ import annotations
@@ -57,6 +59,11 @@ _PRETRAINED = {
 _PRETRAINED["300-deep"] = (
     "pretrained_c300_K8_L40_H10.pth",
     dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True),
+)
+_PRETRAINED["300-deep-paper"] = (
+    "pretrained_c300_K8_L40_H10_paper.pth",
+    dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True),
 )
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",

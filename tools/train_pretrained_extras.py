@@ -40,7 +40,10 @@ def heldout_residual(params, cfg, case, n=64):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", nargs="+", default=["deep300", "multi"])
+    ap.add_argument("--which", nargs="+", default=["deep300", "multi"],
+                    help="deep300 | multi | deep300-paper (K=8/L40 with "
+                         "textbook physics + the quirk-Q8 fix at "
+                         "augmentation scale 0.5)")
     ap.add_argument("--grids", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--patience", type=int, default=20)
@@ -69,6 +72,35 @@ def main():
             "train_sec": round(time.perf_counter() - t0, 1),
             "final_train_residual": round(history[-1]["final_loss"], 5),
             "heldout_residual": round(heldout_residual(best.params, cfg, 300), 5),
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
+    if "deep300-paper" in args.which:
+        cfg = GNSConfig(
+            case_nr=300, K=8, latent_dim=40, hidden_dim=10,
+            multiple_phi=True, reference_parity=False, qg_gen_only=True,
+            seed=0, epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128,
+        )
+        data = batch_from_cases(
+            list(generate_cases(300, args.grids, seed=0, scale=0.5))[1:]
+        )
+        t0 = time.perf_counter()
+        best, history = train(cfg, data)
+        path = os.path.join(ASSET_DIR, "pretrained_c300_K8_L40_H10_paper.pth")
+        export_torch(path, best, cfg)
+        from gns_tpu.eval.harness import compute_metrics, run_gns, run_nr_oracle
+
+        held_cases = list(generate_cases(
+            300, 64, seed=12345, scale=0.5, feasible_only=True))[1:]
+        m = compute_metrics(
+            run_nr_oracle(held_cases), run_gns(best.params, cfg, held_cases)
+        )
+        print(json.dumps({
+            "which": "deep300-paper", "epochs_run": len(history),
+            "train_sec": round(time.perf_counter() - t0, 1),
+            "final_train_residual": round(history[-1]["final_loss"], 5),
+            "v_mse_vs_nr": round(m["v_mse"], 6),
             "path": os.path.relpath(path, REPO),
         }), flush=True)
 
