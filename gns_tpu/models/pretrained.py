@@ -34,6 +34,9 @@ vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
   remain the default for reference-identical behavior.
   "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039 — the
   most accurate shipped model.
+  "multi-paper" (ONE weight set, all five cases, same recipe): v MSE
+  c9 0.00096 / c14 0.00297 / c30 0.00525 / c118 0.00149 / c300 0.00084 —
+  the generalist beats every parity-mode specialist.
 """
 
 from __future__ import annotations
@@ -68,6 +71,10 @@ _PRETRAINED["300-deep-paper"] = (
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),
+)
+_PRETRAINED["multi-paper"] = (
+    "pretrained_multi_K4_L20_H10_paper.pth",
+    dict(case_nr=0, reference_parity=False, qg_gen_only=True, **_BEST),
 )
 # "{c}-paper" — trained on the textbook AC residual instead of the
 # reference's quirky one (reference_parity=False) WITH the quirk-Q8 fix

@@ -49,7 +49,10 @@ def test_pretrained_residual_beats_random(case):
 
 
 def test_variant_checkpoints_load():
-    variants = [("300-deep", 300, 1.0), ("multi", 14, 1.0)] + [
+    variants = [
+        ("300-deep", 300, 1.0), ("multi", 14, 1.0),
+        ("300-deep-paper", 300, 0.5), ("multi-paper", 14, 1.0),
+    ] + [
         (f"{c}-paper", c, 0.5 if c == 300 else 1.0)
         for c in (9, 14, 30, 118, 300)
     ]

@@ -104,6 +104,45 @@ def main():
             "path": os.path.relpath(path, REPO),
         }), flush=True)
 
+    if "multi-paper" in args.which:
+        cases = [9, 14, 30, 118, 300]
+        scales = {9: 1.0, 14: 1.0, 30: 1.0, 118: 1.0, 300: 0.5}
+        cfg = GNSConfig(
+            case_nr=0, K=4, latent_dim=20, hidden_dim=10,
+            multiple_phi=True, reference_parity=False, qg_gen_only=True,
+            seed=0, epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128,
+        )
+        per = max(8, args.grids // len(cases))
+        datasets = [
+            batch_from_cases(
+                list(generate_cases(c, per, seed=i, scale=scales[c]))[1:]
+            )
+            for i, c in enumerate(cases)
+        ]
+        t0 = time.perf_counter()
+        best, history = train_multi(cfg, datasets)
+        path = os.path.join(ASSET_DIR, "pretrained_multi_K4_L20_H10_paper.pth")
+        export_torch(path, best, cfg)
+        from gns_tpu.eval.harness import compute_metrics, run_gns, run_nr_oracle
+
+        v_mses = {}
+        for c in cases:
+            held = list(generate_cases(
+                c, 32, seed=12345, scale=scales[c], feasible_only=True))[1:]
+            m = compute_metrics(
+                run_nr_oracle(held),
+                run_gns(best.params, cfg.replace(case_nr=c), held),
+            )
+            v_mses[f"c{c}"] = round(m["v_mse"], 6)
+        print(json.dumps({
+            "which": "multi-paper", "cases": cases,
+            "epochs_run": len(history),
+            "train_sec": round(time.perf_counter() - t0, 1),
+            "v_mse_vs_nr": v_mses,
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
     if "multi" in args.which:
         cases = [9, 14, 30, 118, 300]
         cfg = GNSConfig(
