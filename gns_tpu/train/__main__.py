@@ -35,6 +35,16 @@ def main():
     p.add_argument("--method", default="auto", choices=["auto", "scatter", "onehot", "hybrid", "pallas"])
     p.add_argument("--paper-physics", action="store_true",
                    help="use paper-correct physics instead of reference parity")
+    p.add_argument("--qg-gen-only", action="store_true",
+                   help="paper mode: reactive generation only at generator "
+                        "buses (the quirk-Q8 fix — live load-bus reactive "
+                        "residual; required for accurate large-case training)")
+    p.add_argument("--dispatch", choices=["lambda", "setpoint_slack"],
+                   default="lambda",
+                   help="paper-mode generator convention (utils/config.py)")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="augmentation strength for --cases in-memory data "
+                        "(case300 needs <=0.5 to stay NR-solvable)")
     p.add_argument("--out-dir", default="models")
     p.add_argument("--runs-dir", default="runs")
     p.add_argument("--export-torch", action="store_true",
@@ -60,6 +70,7 @@ def main():
         epochs=args.epochs, batch_size=args.batch_size, nr_samples=args.nr_samples,
         optimizer=args.optimizer, learning_rate=args.lr, seed=args.seed,
         reference_parity=not args.paper_physics,
+        qg_gen_only=args.qg_gen_only, dispatch=args.dispatch,
     )
 
     if args.cases:
@@ -71,7 +82,7 @@ def main():
 
         per = max(1, cfg.nr_samples // len(args.cases))
         datasets = [
-            batch_from_cases(list(generate_cases(c, per, seed=cfg.seed + i))[1:])
+            batch_from_cases(list(generate_cases(c, per, seed=cfg.seed + i, scale=args.scale))[1:])
             for i, c in enumerate(args.cases)
         ]
         print(

@@ -15,13 +15,20 @@ def main():
     p.add_argument("--data-dir", default=None)
     p.add_argument("--no-pickles", action="store_true",
                    help="write only the fast .npz cache")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="augmentation strength (1.0 = reference recipe; "
+                        "case300 needs <=0.5 to stay NR-solvable)")
+    p.add_argument("--feasible-only", action="store_true",
+                   help="rejection-sample grids until Newton-Raphson "
+                        "converges on them")
     args = p.parse_args()
 
     from gns_tpu.utils.augment import generate_dataset
 
     out = generate_dataset(
         args.case, args.num, seed=args.seed, data_dir=args.data_dir,
-        write_pickles=not args.no_pickles,
+        write_pickles=not args.no_pickles, scale=args.scale,
+        feasible_only=args.feasible_only,
     )
     print(f"wrote case{args.case} dataset ({args.num}+1 grids) to {out}")
 

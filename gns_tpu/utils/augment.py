@@ -136,6 +136,8 @@ def generate_dataset(
     data_dir: Optional[str] = None,
     write_pickles: bool = True,
     write_npz: bool = True,
+    scale: float = 1.0,
+    feasible_only: bool = False,
 ) -> str:
     """Write a dataset to data/case{nr}/.
 
@@ -156,7 +158,9 @@ def generate_dataset(
     # list-of-arrays doubling), so >10k-grid sets cost exactly the final
     # buffer (e.g. 100k case300 grids ~2 GB, not 4+).
     buses_all = lines_all = gens_all = None
-    for i, case in enumerate(generate_cases(case_nr, num_augmentations, seed)):
+    for i, case in enumerate(generate_cases(
+            case_nr, num_augmentations, seed,
+            scale=scale, feasible_only=feasible_only)):
         if write_pickles:
             with open(
                 os.path.join(out_dir, f"augmented_case{case_nr}_{i}.pkl"), "wb"
@@ -177,5 +181,6 @@ def generate_dataset(
             lines=lines_all,
             generators=gens_all,
             seed=np.int64(seed),
+            scale=np.float64(scale),
         )
     return out_dir
