@@ -43,7 +43,9 @@ def main():
                         "512 amortizes the ~33ms relay fetch round-trip to <5%%")
     p.add_argument("--repeats", type=int, default=2,
                    help="timed dispatches (each inner-steps long); min taken")
-    p.add_argument("--method", default="onehot")
+    p.add_argument("--method", default="auto",
+                   help="segment-sum lowering; auto = the production "
+                        "resolution (hybrid custom-VJP on TPU)")
     # bf16 MLP compute is the production default on TPU (params/physics stay
     # f32); use --compute-dtype float32 for parity-grade numerics.
     p.add_argument("--compute-dtype", default="bfloat16",
