@@ -56,6 +56,11 @@ def run_nr_oracle(cases: List[Dict], backend: str = "scipy"):
     if backend == "batched":
         from gns_tpu.eval.nr_batched import solve_batched
 
+        # Full warm pass first: the chunked solve compiles one program per
+        # chunk SHAPE, and a first compile is tens of seconds — it must not
+        # pollute the reported per-grid time (the timed pass re-runs the
+        # exact same programs warm).
+        solve_batched(cases)
         t0 = time.perf_counter()
         res = solve_batched(cases)
         per_grid = (time.perf_counter() - t0) / len(cases)
@@ -135,16 +140,11 @@ def run_gns(params, cfg: GNSConfig, cases: List[Dict], method: str = "auto"):
     }
 
 
-def compute_metrics(nr: Dict, gns: Dict) -> Dict:
-    """Reference metric definitions (evaluate.py:89-148) + MSEs.
-
-    Grids where the NR oracle did not converge are excluded from every
-    error statistic (a non-converged runpf returns whatever iterate it
-    stopped at — comparing against it is noise); `nr_converged_frac`
-    reports how many survived. The reference never checks `success`
-    (GNS/evaluate.py:34-40)."""
+def _filter_converged(nr: Dict, gns: Dict):
+    """Drop grids where the NR oracle did not converge from both result
+    dicts (a non-converged runpf iterate is noise, |v| can be 1e9)."""
     conv = np.asarray(nr.get("converged", np.ones(len(nr["time"]), bool)), bool)
-    nr_converged_frac = float(conv.mean())
+    frac = float(conv.mean())
     if not conv.any():
         raise ValueError(
             "NR oracle converged on 0 eval grids; accuracy metrics would be "
@@ -156,6 +156,18 @@ def compute_metrics(nr: Dict, gns: Dict) -> Dict:
               for k, v in nr.items()}
         gns = {k: v[conv] if getattr(v, "shape", ())[:1] == (s,) else v
                for k, v in gns.items()}
+    return nr, gns, frac
+
+
+def compute_metrics(nr: Dict, gns: Dict) -> Dict:
+    """Reference metric definitions (evaluate.py:89-148) + MSEs.
+
+    Grids where the NR oracle did not converge are excluded from every
+    error statistic (a non-converged runpf returns whatever iterate it
+    stopped at — comparing against it is noise); `nr_converged_frac`
+    reports how many survived. The reference never checks `success`
+    (GNS/evaluate.py:34-40)."""
+    nr, gns, nr_converged_frac = _filter_converged(nr, gns)
     time_diff = gns["time"] - nr["time"]
     nr_theta = np.deg2rad(nr["theta_deg"])
     theta_diff = np.abs(gns["theta"] - nr_theta)
@@ -197,7 +209,12 @@ def compute_metrics(nr: Dict, gns: Dict) -> Dict:
 
 
 def plot_per_bus_errors(nr, gns, cfg: GNSConfig, out_path: str) -> str:
-    """Per-bus mean+-std errorbar plot (reference evaluate.py:151-178)."""
+    """Per-bus mean+-std errorbar plot (reference evaluate.py:151-178).
+
+    Non-converged oracle grids are excluded, matching compute_metrics —
+    one diverged iterate (|v| ~ 1e9) would otherwise dominate every
+    errorbar."""
+    nr, gns, _ = _filter_converged(nr, gns)
     import matplotlib
 
     matplotlib.use("Agg")

@@ -6,13 +6,15 @@ The reference's oracle solves grids ONE AT A TIME with pypower's runpf
 branch endpoints — the augmentation perturbs only electrical parameters,
 GNS/augment_grids.py:28-54), so the whole evaluation set can be solved as a
 single batched program: dense per-grid G/B admittance matrices, the batched
-polar Jacobian in its real H/N/J/L block form, and a batched QR solve that
-maps onto the MXU — thousands of Newton solves per dispatch instead of one.
+polar Jacobian in its real H/N/J/L block form, and a batched LU solve —
+thousands of Newton solves per dispatch instead of one.
 
 Everything is REAL float32 by design: the axon TPU relay implements neither
-complex arithmetic nor LU (getrf), but batched QR + triangular_solve are
-native, and the polar power-flow Jacobian has well-known real closed forms
-(the same identities pypower's dSbus_dV expands to):
+complex arithmetic nor jnp.linalg.solve's lowering, but the underlying
+lax.linalg.lu / triangular_solve primitives are native (QR too, measured
+~8x slower at case300 sizes), and the polar power-flow Jacobian has
+well-known real closed forms (the same identities pypower's dSbus_dV
+expands to):
 
   P_m = V_m sum_k V_k (G_mk cos th_mk + B_mk sin th_mk)
   Q_m = V_m sum_k V_k (G_mk sin th_mk - B_mk cos th_mk)
@@ -147,8 +149,8 @@ def build_nr_batch(cases: List[Dict]) -> NRBatch:
 
 @partial(jax.jit, static_argnames=("max_iter",))
 def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
-              tol: float = 1e-5, max_iter: int = 20):
-    """Batched full-Newton polar power flow, real arithmetic + QR solve.
+              tol: float = 3e-5, max_iter: int = 20):
+    """Batched full-Newton polar power flow, real arithmetic + LU solve.
 
     Returns (vm, va, conv, iters)."""
     n = vm0.shape[1]
@@ -237,7 +239,7 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
 
 def solve_batched(
     cases: List[Dict],
-    tol: float = 1e-5,
+    tol: float = 3e-5,
     max_iter: int = 20,
     chunk_size: int = 256,
 ) -> Dict:
@@ -247,6 +249,13 @@ def solve_batched(
     (case300 at 256 grids is ~184 MB). Non-converged grids keep their last
     iterate, flagged False — callers filter exactly as with the scipy oracle
     (harness.compute_metrics drops them).
+
+    tol default 3e-5: safely above the float32 mismatch floor (~1e-5 on
+    the largest cases) so solvable grids are not flagged non-converged by
+    rounding, while Newton's quadratic convergence means the accepted
+    iterate is the same one a 1e-5 gate would accept (the last step drops
+    the mismatch from ~1e-3 straight to the floor) — v agreement with the
+    float64 oracle stays ~1e-6 p.u. (tested).
     """
     vms, vas, convs, its = [], [], [], []
     for lo in range(0, len(cases), chunk_size):

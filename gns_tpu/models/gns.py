@@ -50,7 +50,7 @@ from gns_tpu.ops import segment_sum
 from gns_tpu.ops.segment import broadcast_col0_segment_sum, gather
 from gns_tpu.physics.fused import physics_refresh
 from gns_tpu.utils.config import GNSConfig
-from gns_tpu.utils.schema import GEN
+from gns_tpu.utils.schema import BUS, BUS_TYPE_SLACK, GEN
 
 
 class GNSOutput(NamedTuple):
@@ -322,7 +322,7 @@ def gns_machinery(
     gen_bus_mask = is_gen.astype(f32) if cfg.qg_gen_only else None
     slack_mask = None
     if cfg.dispatch == "setpoint_slack":
-        slack_mask = (buses[:, 1] == 3).astype(f32)
+        slack_mask = (buses[:, BUS["type"]] == BUS_TYPE_SLACK).astype(f32)
         # keep the delta_p input feature consistent with the residual
         delta_p = delta_p * (1.0 - slack_mask)
 

@@ -10,9 +10,11 @@ The two share almost all their work:
     reactive mismatch cancels identically:
         delta_q = (Qd - Bs v^2 - A) - Qd + Bs v^2 + A ~ 0  (float noise)
     [verified: |delta_q| <= 4e-6 at every step of the golden reference run
-    while |delta_p| ~ 1; the training loss is active-power-only — this is
-    the Donon scheme's design: per-bus reactive generation is a free
-    variable that absorbs the reactive mismatch exactly.]
+    while |delta_p| ~ 1 — quirk Q8, SURVEY.md §2.4: the reference's loss
+    is active-power-only, which leaves load-bus |v| unconstrained and is
+    why large-case paper training used to find wrong-voltage branches.
+    The paper-mode qg_gen_only option below restores the reactive
+    residual at load buses.]
 
 This module computes the shared messages once, pairs up scatter operands
 ((E,2) blocks instead of single columns), and returns
@@ -34,7 +36,7 @@ import jax.numpy as jnp
 from gns_tpu.ops import segment_sum
 from gns_tpu.physics.common import branch_flows, edge_geometry
 from gns_tpu.physics.compensation import _lambda_dispatch
-from gns_tpu.utils.schema import BUS, GEN
+from gns_tpu.utils.schema import BUS, BUS_TYPE_SLACK, GEN
 
 
 def physics_refresh(
@@ -224,7 +226,9 @@ def physics_refresh(
     delta_p = pg_bus - pd - gs * v2 + p_sum
     if dispatch == "setpoint_slack":
         if slack_mask is None:
-            slack_mask = (buses[:, BUS["type"]] == 3).astype(delta_p.dtype)
+            slack_mask = (
+                buses[:, BUS["type"]] == BUS_TYPE_SLACK
+            ).astype(delta_p.dtype)
         delta_p = delta_p * (1.0 - slack_mask)
 
     # delta_q = (qg_new - Qd + Bs v^2) + q_sum == 0 by construction when

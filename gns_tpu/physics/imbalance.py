@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from gns_tpu.ops import segment_sum
 from gns_tpu.physics.common import branch_flows, edge_geometry
-from gns_tpu.utils.schema import BUS, GEN
+from gns_tpu.utils.schema import BUS, BUS_TYPE_SLACK, GEN
 
 
 def local_power_imbalance(
@@ -118,7 +118,9 @@ def local_power_imbalance(
     if zero_slack_dp:
         if reference_parity:
             raise ValueError("zero_slack_dp is a paper-mode option")
-        delta_p = delta_p * (buses[:, BUS["type"]] != 3).astype(delta_p.dtype)
+        delta_p = delta_p * (
+            buses[:, BUS["type"]] != BUS_TYPE_SLACK
+        ).astype(delta_p.dtype)
 
     if bus_mask is not None:
         delta_p = delta_p * bus_mask

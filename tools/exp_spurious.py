@@ -195,7 +195,6 @@ def main():
             best, history = train_variant(vcfg, data, variant, args.epochs,
                                           args.patience)
             train_s = time.perf_counter() - t0
-        out = gns_forward_batch(best.params, vcfg, held, method="auto", topo=held_topo)
         m = compute_metrics(nr, run_gns(best.params, vcfg, held_cases))
         print(json.dumps({
             "case": args.case,
@@ -204,8 +203,9 @@ def main():
             "train_sec": round(train_s, 1),
             "best_train_residual": (
                 None if variant == "parity"
+                or not all(h["final_loss"] == h["final_loss"] for h in history)
                 else round(min(h["final_loss"] for h in history), 5)),
-            "heldout_residual": round(float(np.mean(np.asarray(out.last_loss))), 5),
+            "heldout_residual": round(m["last_loss_mean"], 5),
             "v_mse_vs_nr": round(m["v_mse"], 6),
             "v_abs_mean": round(m["v_abs_diff_mean"], 5),
             "theta_centered_mse": round(m["theta_centered_mse"], 6),

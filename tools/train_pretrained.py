@@ -68,23 +68,31 @@ def main():
         data = batch_from_cases(
             list(generate_cases(case, args.grids, seed=0, scale=args.scale))[1:]
         )
-        t0 = time.perf_counter()
-        best, history = train(cfg, data)
-        train_s = time.perf_counter() - t0
-
-        # Held-out evaluation: disjoint seed, physics residual of the model.
-        # Paper-mode held-out grids are NR-feasibility-filtered so the
-        # oracle comparison below is defined on every grid.
+        # Held-out grids FIRST (disjoint seed; paper mode NR-feasibility-
+        # filtered so the oracle comparison is defined on every grid): if
+        # the case is infeasible at this --scale, fail before burning the
+        # training budget, not after.
         held_cases = list(generate_cases(
             case, args.eval_grids, seed=12345, scale=args.scale,
             feasible_only=paper,
         ))[1:]
         held = batch_from_cases(held_cases)
+        t0 = time.perf_counter()
+        best, history = train(cfg, data)
+        train_s = time.perf_counter() - t0
         out = gns_forward_batch(
             best.params, cfg, held, method="auto",
             topo=extract_shared_topology(held),
         )
         heldout_residual = float(np.mean(np.asarray(out.last_loss)))
+
+        # Export BEFORE the oracle eval: a failure there must not discard
+        # the finished training run.
+        suffix = "" if args.physics == "parity" else "_paper"
+        path = os.path.join(
+            ASSET_DIR, f"pretrained_c{case}_K4_L20_H10{suffix}.pth"
+        )
+        export_torch(path, best, cfg)
 
         # Paper-mode checkpoints are accuracy products: also score v MSE
         # against the Newton-Raphson oracle on the held-out grids.
@@ -100,11 +108,6 @@ def main():
             m = compute_metrics(nr, run_gns(best.params, cfg, held_cases))
             v_mse = m["v_mse"]
 
-        suffix = "" if args.physics == "parity" else "_paper"
-        path = os.path.join(
-            ASSET_DIR, f"pretrained_c{case}_K4_L20_H10{suffix}.pth"
-        )
-        export_torch(path, best, cfg)
         print(json.dumps({
             "case": case,
             "epochs_run": len(history),
