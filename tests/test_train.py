@@ -98,3 +98,31 @@ def test_train_multi_groups():
     assert all(l == l for l in history[-1]["group_losses"])  # finite
     # loss should improve over epochs on at least one group
     assert history[-1]["final_loss"] <= history[0]["final_loss"]
+
+
+def test_supervised_training_decreases_label_error():
+    """train/supervised.py: the supervised metric (v/theta MSE vs NR
+    labels) must drop under training; labels require feasible grids."""
+    import jax
+
+    from gns_tpu.train.supervised import nr_labels, train_supervised
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import batch_from_cases
+
+    cases = list(generate_cases(14, 16, seed=0, feasible_only=True))[1:]
+    data = batch_from_cases(cases)
+    labels = nr_labels(cases, n_pad=data.buses.shape[1])
+    cfg = GNSConfig(case_nr=14, K=2, latent_dim=8, hidden_dim=8,
+                    reference_parity=False, qg_gen_only=True,
+                    epochs=15, early_stop_patience=15, batch_size=16, seed=0)
+    best, hist = train_supervised(cfg, data, labels, w_physics=0.1)
+    assert hist[-1]["sup"] < hist[0]["sup"]
+    assert all(not h["diverged"] for h in hist)
+
+    # labels for a non-feasible set must be refused
+    import pytest as _pytest
+
+    bad = list(generate_cases(300, 3, seed=5))[1:]  # full-strength: diverges
+    with _pytest.raises(ValueError):
+        nr_labels(bad)
