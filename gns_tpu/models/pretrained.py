@@ -93,6 +93,17 @@ for c in (9, 14, 30, 118, 300):
         f"pretrained_c{c}_K4_L20_H10_paper.pth",
         dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
     )
+# "{c}-sup" — fine-tuned supervised against the Newton-Raphson oracle
+# (tools/train_supervised.py: loss = sup + 0.1 * physics on NR-feasible
+# grids; the reference only ever uses NR for evaluation,
+# GNS/evaluate.py:25-40). The most oracle-accurate shipped weights at the
+# reference's best architecture. case300 trains at augmentation scale=0.5
+# like its paper sibling.
+for c in (9, 14, 30, 118, 300):
+    _PRETRAINED[f"{c}-sup"] = (
+        f"pretrained_c{c}_K4_L20_H10_sup.pth",
+        dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
+    )
 
 
 def available_cases():

@@ -55,6 +55,9 @@ def test_variant_checkpoints_load():
     ] + [
         (f"{c}-paper", c, 0.5 if c == 300 else 1.0)
         for c in (9, 14, 30, 118, 300)
+    ] + [
+        (f"{c}-sup", c, 0.5 if c == 300 else 1.0)
+        for c in (9, 14, 30, 118, 300)
     ]
     for key, case, scale in variants:
         if key not in available_cases():
