@@ -244,10 +244,12 @@ def gns_machinery(
     """
     if edge_axis is not None and cfg.reference_parity:
         raise ValueError("edge-partitioned execution requires reference_parity=False")
-    if cfg.reference_parity and (cfg.qg_gen_only or cfg.dispatch != "lambda"):
+    if cfg.reference_parity and (
+        cfg.qg_gen_only or cfg.dispatch != "lambda" or cfg.slack_anchor
+    ):
         raise ValueError(
-            "qg_gen_only / dispatch='setpoint_slack' are paper-mode options: "
-            "set reference_parity=False (see utils/config.py)"
+            "qg_gen_only / dispatch='setpoint_slack' / slack_anchor are "
+            "paper-mode options: set reference_parity=False (utils/config.py)"
         )
 
     def _psum(x):
@@ -327,6 +329,12 @@ def gns_machinery(
         delta_p = delta_p * (1.0 - slack_mask)
 
     bm = bus_mask if bus_mask is not None else None
+    # Slack-anchor gauge regularizer (paper mode; see utils/config.py).
+    anchor_mask = None
+    if cfg.slack_anchor:
+        anchor_mask = (buses[:, BUS["type"]] == BUS_TYPE_SLACK).astype(f32)
+        if bm is not None:
+            anchor_mask = anchor_mask * bm
     lm_col = lm[:, None]
     # Gather lowering (ops/segment.py): 'hybrid' (take forward, custom
     # one-hot-matmul VJP) dominates on TPU — it keeps the forward a cheap
@@ -450,7 +458,12 @@ def gns_machinery(
             qg_gen_only=cfg.qg_gen_only, dispatch=cfg.dispatch,
             gen_bus_mask=gen_bus_mask, slack_mask=slack_mask,
         )
-        total_loss = total_loss + disc * residual_sums(delta_p, delta_q)
+        step_loss = residual_sums(delta_p, delta_q)
+        if anchor_mask is not None:
+            step_loss = step_loss + cfg.slack_anchor * jnp.sum(
+                anchor_mask * theta * theta
+            ) / n_real
+        total_loss = total_loss + disc * step_loss
         return (v, theta, m, delta_p, delta_q, total_loss), None
 
     init = (v, theta, m, delta_p, delta_q, jnp.asarray(0.0, f32))

@@ -59,6 +59,17 @@ class GNSConfig:
     #                       solution (residual floor ~1e-4, only the paper
     #                       shunts).
     dispatch: str = "lambda"
+    # Optional slack-anchor loss weight: adds
+    #   slack_anchor * gamma^(K-k) * sum_slack(theta^2) / N
+    # to each step's loss, pinning the predicted angle gauge at the slack
+    # bus. The physics residual is invariant under a global angle shift
+    # (only differences enter the flows), so without an anchor the raw
+    # predicted angles carry an arbitrary offset; eval decodes it away by
+    # slack alignment (eval/harness.py align_slack_angle), which makes
+    # this knob a training-time regularizer rather than a requirement.
+    # Anchors to theta_slack = 0, the slack-relative gauge (every shipped
+    # base case has slack Va = 0; the eval decode adds the case's Va).
+    slack_anchor: float = 0.0
 
     # --- training (reference: GNS/main.py:235-254) ---
     case_nr: int = 14
