@@ -33,10 +33,20 @@ vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
   the paper models are 13-16x closer to the oracle. Parity checkpoints
   remain the default for reference-identical behavior.
   "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039 — the
-  most accurate shipped model.
+  most accurate unsupervised shipped model.
   "multi-paper" (ONE weight set, all five cases, same recipe): v MSE
   c9 0.00096 / c14 0.00297 / c30 0.00525 / c118 0.00149 / c300 0.00084 —
   the generalist beats every parity-mode specialist.
+
+Supervised fine-tuned checkpoints ("{c}-sup", tools/train_supervised.py
+--warm-start {c}-paper --export; loss = NR-label supervision + 0.1 *
+physics on NR-feasible grids): v MSE vs the oracle on 64 held-out
+feasible grids —
+  c9 0.00040 | c14 0.00064 | c30 0.00263 | c118 0.00071 | c300 0.00063
+  — the most oracle-accurate weights per case at the reference's best
+  architecture, improving on their paper warm-starts by 1.1-1.9x
+  (case300 at augmentation scale=0.5 like its paper sibling; case30/118/
+  300 grids are synthetic stand-ins, see utils/cases.py and README).
 """
 
 from __future__ import annotations
