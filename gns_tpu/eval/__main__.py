@@ -88,6 +88,20 @@ def main():
         print("WARNING: no checkpoint given — evaluating a random init")
         params = init_gns_params(jax.random.key(0), cfg)
 
+    if not args.from_base_case:
+        try:
+            cases = load_eval_cases(
+                args.case, args.samples, data_dir=args.data_dir,
+                total_grids=args.total_grids,
+            )
+        except FileNotFoundError as e:
+            # Out-of-box path: the reference ships data/case14 so its eval
+            # "just runs" (GNS/evaluate.py:31-32); we ship a generator
+            # instead, so when no pickles exist fall back to in-memory
+            # grids rather than dying on a fresh clone.
+            print(f"WARNING: {e}\nWARNING: falling back to --from-base-case "
+                  f"(in-memory seeded augmentation of the base case)")
+            args.from_base_case = True
     if args.from_base_case:
         from gns_tpu.utils.augment import generate_cases
 
@@ -95,11 +109,6 @@ def main():
             args.case, args.samples - 1, seed=args.seed, scale=args.scale,
             feasible_only=args.feasible_only,
         ))
-    else:
-        cases = load_eval_cases(
-            args.case, args.samples, data_dir=args.data_dir,
-            total_grids=args.total_grids,
-        )
 
     m = evaluate(params, cfg, cases, method=args.method, plot_path=args.plot,
                  nr_backend=args.nr_backend)

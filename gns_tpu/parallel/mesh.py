@@ -90,11 +90,32 @@ def make_hybrid_mesh(
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (DCN). No-op when single-process."""
-    if jax.process_count() > 1:
-        return
+    """Multi-host init (DCN). Call this FIRST on a pod, before anything
+    that touches the JAX backend.
+
+    Ordering contract: `jax.distributed.initialize` must run before ANY
+    backend-touching call (`jax.devices()`, `jax.process_count()`, array
+    creation, ...) — touching the backend first initializes single-process
+    JAX, after which distributed init is too late. This helper therefore
+    guards on jax.distributed's own client state, never on
+    `process_count()` (which both touches the backend and, pre-init,
+    reports 1 even on a pod).
+
+    Behavior:
+      * already initialized (client present) -> no-op.
+      * explicit kwargs (coordinator_address, num_processes, process_id,
+        ...) -> initialize with them; failures PROPAGATE (silently falling
+        back to a 1-host run on a real pod would be a correctness bug).
+      * no kwargs -> auto-detect the cluster environment (TPU pod metadata,
+        GKE, Slurm, ...); if none is detected JAX raises and we proceed
+        single-process, which is the right default for local dev.
+    """
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        # Already initialized or single-host run without coordinator.
-        pass
+        if kwargs:
+            raise
+        # No kwargs and no detectable cluster env: single-process run.

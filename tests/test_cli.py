@@ -63,6 +63,23 @@ def test_eval_cli(tmp_path):
     assert (tmp_path / "p.png").exists()
 
 
+def test_eval_cli_fallback_without_pickles(tmp_path):
+    """Out-of-box: with no datasets on disk, `python -m gns_tpu.eval` warns
+    and falls back to in-memory grids instead of dying (the reference ships
+    data/case14 so its eval runs on a fresh clone; we ship a generator)."""
+    r = run_cli([
+        "gns_tpu.eval", "--cpu", "--case", "9", "--K", "2", "--latent", "4",
+        "--hidden", "4", "--samples", "3",
+        "--data-dir", str(tmp_path / "nonexistent"),
+        "--plot", str(tmp_path / "p.png"),
+        "--json-out", str(tmp_path / "m.json"),
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "falling back to --from-base-case" in r.stdout
+    m = json.loads((tmp_path / "m.json").read_text())
+    assert "v_mse" in m
+
+
 def test_train_cli_megabatch(tmp_path):
     """Mixed-case mega-batch training (BASELINE config #5) from the CLI."""
     r = run_cli([

@@ -86,3 +86,67 @@ def test_hybrid_mesh_validation():
         make_hybrid_mesh(dcn=3)  # 8 devices not divisible by 3
     with pytest.raises(ValueError):
         make_hybrid_mesh(dcn=2, dp=4, gp=2)  # 2*4*2 != 8
+
+
+class _FakeDistributed:
+    """Stand-in for jax.distributed recording initialize() calls."""
+
+    def __init__(self, client=None, raise_on_init=None):
+        self.global_state = type("S", (), {"client": client})()
+        self.calls = []
+        self.raise_on_init = raise_on_init
+
+    def initialize(self, **kw):
+        self.calls.append(kw)
+        if self.raise_on_init is not None:
+            raise self.raise_on_init
+
+
+def test_initialize_distributed_call_order(monkeypatch):
+    """The multi-host init helper must call jax.distributed.initialize
+    BEFORE any backend-touching call — jax.devices()/process_count() would
+    initialize single-process JAX and make distributed init too late (the
+    round-1 version guarded on process_count() and returned early exactly
+    when it reported > 1)."""
+    from gns_tpu.parallel import mesh as mesh_mod
+
+    def _forbidden(*a, **k):
+        raise AssertionError(
+            "backend-touching call before jax.distributed.initialize"
+        )
+
+    fake = _FakeDistributed()
+    monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", _forbidden)
+    monkeypatch.setattr(mesh_mod.jax, "devices", _forbidden)
+    monkeypatch.setattr(mesh_mod.jax, "local_devices", _forbidden, raising=False)
+
+    mesh_mod.initialize_distributed(
+        coordinator_address="h0:1234", num_processes=2, process_id=0
+    )
+    assert fake.calls == [
+        dict(coordinator_address="h0:1234", num_processes=2, process_id=0)
+    ]
+
+
+def test_initialize_distributed_noop_when_initialized(monkeypatch):
+    from gns_tpu.parallel import mesh as mesh_mod
+
+    fake = _FakeDistributed(client=object())
+    monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
+    mesh_mod.initialize_distributed(coordinator_address="h0:1234")
+    assert fake.calls == []
+
+
+def test_initialize_distributed_error_propagation(monkeypatch):
+    """Explicit kwargs: failures propagate (a silent 1-host fallback on a
+    real pod would be a correctness bug). No kwargs: auto-detect failure
+    means local dev — proceed single-process."""
+    from gns_tpu.parallel import mesh as mesh_mod
+
+    fake = _FakeDistributed(raise_on_init=RuntimeError("no cluster"))
+    monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
+    with pytest.raises(RuntimeError):
+        mesh_mod.initialize_distributed(coordinator_address="h0:1234")
+    mesh_mod.initialize_distributed()  # auto-detect path: swallowed
+    assert len(fake.calls) == 2

@@ -38,8 +38,6 @@ def test_padded_loss_matches_unpadded(megabatch):
     params = init_gns_params(jax.random.key(0), CFG)
     padded = gns_forward_batch(params, CFG, megabatch, method="scatter")
 
-    for i, case_nr in enumerate([9, 9, 9]):  # first three grids are case9
-        pass
     # compare grid 0 (case9 base) padded vs exact-shape
     single = batch_from_cases(list(generate_cases(9, 2, seed=1))[:1])
     exact = gns_forward_batch(params, CFG, single, method="scatter")

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--gp", type=int, default=1,
                     help="edge-partition axis size (per mesh config)")
+    ap.add_argument("--json-out", default=None,
+                    help="append results (with run context) to this JSON file")
     args = ap.parse_args()
 
     if args.cpu_sim:
@@ -109,6 +111,20 @@ def main():
             "simulated": bool(args.cpu_sim),
         })
         print(json.dumps(results[-1]), flush=True)
+    if args.json_out:
+        doc = {"runs": []}
+        if os.path.exists(args.json_out):
+            with open(args.json_out) as f:
+                doc = json.load(f)
+        doc["runs"].append({
+            "case": args.case, "K": args.K, "latent": args.latent,
+            "batch": args.batch, "gp": args.gp,
+            "backend": "cpu-sim" if args.cpu_sim else jax.default_backend(),
+            "host_cpus": os.cpu_count(),
+            "configs": results,
+        })
+        with open(args.json_out, "w") as f:
+            json.dump(doc, f, indent=2)
     return results
 
 
