@@ -96,6 +96,55 @@ def test_pipeline_forward_matches(data, n_stages, microbatch):
     )
 
 
+@pytest.mark.parametrize("n_stages,microbatch,remat", [(2, 2, True), (4, 1, True), (2, 4, False)])
+def test_pipeline_train_step_matches(data, n_stages, microbatch, remat):
+    """Pipeline-parallel TRAINING: gradients flow backward through the
+    GPipe schedule (reverse ppermutes) and match the single-device step.
+    remat=True exercises the stage-local recompute path."""
+    from gns_tpu.parallel.pipeline import make_pipelined_train_step
+
+    mesh = make_mesh(dp=n_stages, gp=1, devices=jax.devices()[:n_stages],
+                     axis_names=("pp", "unused"))
+    state = init_train_state(jax.random.key(0), CFG)
+
+    def loss(p, b):
+        return gns_forward_batch(p, CFG, b, method="onehot").total_loss.mean()
+
+    g_ref = jax.grad(loss)(state.params, data)
+    ref_state, ref_metrics = make_train_step(CFG, method="onehot", donate=False)(
+        state, data
+    )
+
+    step = make_pipelined_train_step(
+        CFG, mesh, microbatch=microbatch, remat=remat
+    )
+    pp_state, metrics = step(state, data)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["last_loss"]), float(ref_metrics["last_loss"]), rtol=2e-5
+    )
+    # Gradient equality (post-Adam params are sign(g)-noise-sensitive; the
+    # grads are the real invariant — same convention as the TP test).
+    from jax.sharding import PartitionSpec as P
+
+    from gns_tpu.parallel import pipeline as pl
+
+    body = pl._pipeline_body(CFG, n_stages, microbatch, "pp", "onehot", remat)
+    mapped = jax.shard_map(
+        lambda p, b: body(p, b).total_loss.mean(),
+        mesh=mesh, in_specs=(P("pp"), P()), out_specs=P(), check_vma=False,
+    )
+    g_pp = jax.jit(jax.grad(mapped))(state.params, data)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+        )
+    assert int(pp_state.step) == 1
+
+
 def test_pipeline_forward_production_lowering(data):
     """Pipeline staging with the TPU production lowering (bf16 compute,
     aggregate-then-project fold, hybrid ops): per-stage fuse_step_params
