@@ -85,13 +85,16 @@ def main():
     )
     n_edges = batch.lines.shape[1]
     topo = extract_shared_topology(batch)
+    dense = batch.is_dense()  # unpadded: mask-free fast path (exact)
     batch = jax.device_put(batch)
     xs = GridBatch(
         *(jnp.broadcast_to(a[None], (args.inner_steps,) + a.shape) for a in batch)
     )
 
     state = init_train_state(jax.random.key(0), cfg)
-    step = make_epoch_step(cfg, method=args.method, donate=False, topo=topo)
+    step = make_epoch_step(
+        cfg, method=args.method, donate=False, topo=topo, dense=dense
+    )
 
     # warm-up: compile + one full execution, barriered by a value fetch.
     state, metrics = step(state, xs)

@@ -284,8 +284,10 @@ def gns_machinery(
         if topo is None
         else topo.gen_idx
     )
-    gm = gen_mask if gen_mask is not None else jnp.ones(generators.shape[0], f32)
-    lm = line_mask if line_mask is not None else jnp.ones(lines.shape[0], f32)
+    # None masks = dense batch (no padding): every mask multiply and mask
+    # HBM read is skipped — exact, since x*1 == x and n_real == N.
+    gm = gen_mask
+    lm = line_mask
     n_real = (
         jnp.asarray(n, f32) if n_bus is None else jnp.asarray(n_bus, f32)
     )
@@ -295,13 +297,15 @@ def gns_machinery(
     theta = jnp.zeros((n,), f32)
     # One (G,4) aggregation for vg/Pg/qg/gen-count instead of four scatters.
     # Q3: co-located generators *sum* their vg set-points.
+    # (init runs once, outside the K scan — the ones-multiply is free)
+    gm_or_ones = gm if gm is not None else jnp.ones(generators.shape[0], f32)
     agg0 = segment_sum(
         jnp.stack(
             [
-                generators[:, GEN["vg"]] * gm,
-                generators[:, GEN["Pg"]] * gm,
-                generators[:, GEN["qg"]] * gm,
-                gm,
+                generators[:, GEN["vg"]] * gm_or_ones,
+                generators[:, GEN["Pg"]] * gm_or_ones,
+                generators[:, GEN["qg"]] * gm_or_ones,
+                gm_or_ones,
             ],
             axis=1,
         ),
@@ -335,7 +339,12 @@ def gns_machinery(
         anchor_mask = (buses[:, BUS["type"]] == BUS_TYPE_SLACK).astype(f32)
         if bm is not None:
             anchor_mask = anchor_mask * bm
-    lm_col = lm[:, None]
+    lm_col = lm[:, None] if lm is not None else None
+
+    def line_masked(x):
+        """Apply the line mask to an (E, D) edge tensor; identity when the
+        batch is dense (mask multiplies cost real HBM traffic per K-step)."""
+        return x if lm_col is None else x * lm_col.astype(x.dtype)
     # Gather lowering (ops/segment.py): 'hybrid' (take forward, custom
     # one-hot-matmul VJP) dominates on TPU — it keeps the forward a cheap
     # copy AND the backward scatter-free, which the old take/onehot
@@ -353,7 +362,8 @@ def gns_machinery(
     # carrying b4phi @ W1a; see fuse_step_params). Step-invariant.
     deg_col = None
     if cfg.resolved_fold_output and cfg.multiple_phi and cfg.fused_heads:
-        deg_col = _psum(segment_sum(lm, dst, n, method=method))[:, None]
+        deg_lm = lm if lm is not None else jnp.ones(lines.shape[0], f32)
+        deg_col = _psum(segment_sum(deg_lm, dst, n, method=method))[:, None]
 
     def residual_sums(dp, dq):
         sq = dp * dp + dq * dq
@@ -379,11 +389,11 @@ def gns_machinery(
             if cfg.reference_parity:
                 # Q1: (E,1) messages write only latent column 0.
                 return broadcast_col0_segment_sum(
-                    phi_out * lm_col, dst, n, latent, method=method
+                    line_masked(phi_out), dst, n, latent, method=method
                 )
             # paper-correct: broadcast the scalar message across latent.
             return jnp.broadcast_to(
-                _psum(segment_sum(phi_out[:, 0] * lm, dst, n, method=method))[
+                _psum(segment_sum(line_masked(phi_out)[:, 0], dst, n, method=method))[
                     :, None
                 ],
                 (n, latent),
@@ -398,18 +408,14 @@ def gns_machinery(
                 # L_fused.w1, with the in-degree column carrying b4phi.
                 h2 = mlp(step_params["phi_hidden"], edge_in, keep_dtype=True,
                          hidden_only=True)
-                agg = segment_sum(
-                    h2 * lm_col.astype(h2.dtype), dst, n, method=method
-                )
+                agg = segment_sum(line_masked(h2), dst, n, method=method)
                 node_in = jnp.concatenate(
                     [node_base, _psum(agg.astype(jnp.float32)), deg_col],
                     axis=1,
                 )
             elif cfg.multiple_phi:
                 phi_out = mlp(step_params["phi_fused"], edge_in, keep_dtype=True)
-                agg = segment_sum(
-                    phi_out * lm_col.astype(phi_out.dtype), dst, n, method=method
-                )
+                agg = segment_sum(line_masked(phi_out), dst, n, method=method)
                 node_in = jnp.concatenate(
                     [node_base, _psum(agg.astype(jnp.float32))], axis=1
                 )
@@ -423,9 +429,7 @@ def gns_machinery(
                 # keep bf16 through the masked aggregation (f32 accumulation
                 # on the MXU via preferred_element_type in ops/segment.py)
                 out = mlp(step_params[name], edge_in, keep_dtype=True)
-                agg = segment_sum(
-                    out * lm_col.astype(out.dtype), dst, n, method=method
-                )
+                agg = segment_sum(line_masked(out), dst, n, method=method)
                 return _psum(agg.astype(jnp.float32))
 
             if cfg.multiple_phi:
@@ -513,14 +517,25 @@ def gns_forward(
 
 
 def gns_forward_batch(
-    params, cfg: GNSConfig, batch, method: str = "auto", precision=None, topo=None
+    params, cfg: GNSConfig, batch, method: str = "auto", precision=None,
+    topo=None, dense: bool = False,
 ):
     """vmap the forward over a GridBatch -> batched GNSOutput.
 
     topo (utils.prepare.GridTopology): batch-invariant index arrays, closed
     over as vmap constants — see gns_machinery. Use
     utils.prepare.extract_shared_topology(batch) on host data to obtain it.
+
+    dense: the batch is unpadded (GridBatch.is_dense() on host data) — the
+    mask fields are ignored entirely, eliminating every per-K-step mask
+    multiply and the masks' HBM traffic. Exact for unpadded batches.
     """
+    if dense:
+        fn = lambda b, l, g: gns_forward(
+            params, cfg, b, l, g,
+            method=method, precision=precision, topo=topo,
+        )
+        return jax.vmap(fn)(batch.buses, batch.lines, batch.generators)
     fn = lambda b, l, g, bm, lm, gm, nb: gns_forward(
         params, cfg, b, l, g, bm, lm, gm, nb,
         method=method, precision=precision, topo=topo,

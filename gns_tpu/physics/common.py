@@ -54,7 +54,8 @@ def ones_mask(n: int, dtype=jnp.float32):
     return jnp.ones((n,), dtype=dtype)
 
 
-def branch_flows(v, theta, geom: EdgeGeom, gather_method: str = "take"):
+def branch_flows(v, theta, geom: EdgeGeom, gather_method: str = "take",
+                 at_src=None, at_dst=None):
     """Textbook AC branch power flows (paper-correct mode).
 
     Returns per-line (p_f, q_f, p_t, q_t): active/reactive power flowing
@@ -64,13 +65,18 @@ def branch_flows(v, theta, geom: EdgeGeom, gather_method: str = "take"):
     reference's formulas verbatim instead (see compensation.py/imbalance.py).
     gather_method='onehot' keeps the bus->edge gathers' VJPs scatter-free
     on TPU (ops/segment.py gather).
+
+    at_src/at_dst: optional precomputed (E,2) [v, theta] gathers at the
+    from-/to-bus — the fused physics path stacks both sides into ONE
+    (2E,2) gather (physics/fused.py) and passes the halves here.
     """
     from gns_tpu.ops.segment import gather
 
     # One (N,2) gather for v and theta instead of four vector gathers.
-    vth = jnp.stack([v, theta], axis=1)
-    at_src = gather(vth, geom.src, method=gather_method)
-    at_dst = gather(vth, geom.dst, method=gather_method)
+    if at_src is None or at_dst is None:
+        vth = jnp.stack([v, theta], axis=1)
+        at_src = gather(vth, geom.src, method=gather_method)
+        at_dst = gather(vth, geom.dst, method=gather_method)
     vf = at_src[:, 0] / geom.tau
     vt = at_dst[:, 0]
     th = at_src[:, 1] - at_dst[:, 1] - geom.shift

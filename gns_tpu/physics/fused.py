@@ -38,6 +38,24 @@ from gns_tpu.physics.common import branch_flows, edge_geometry
 from gns_tpu.physics.compensation import _lambda_dispatch
 from gns_tpu.utils.schema import BUS, BUS_TYPE_SLACK, GEN
 
+# Trace-time switches for the stacked-incidence paper-mode physics paths:
+# _STACK_GATHER collapses the from/to bus gathers into ONE (2E, 2) take on
+# the concatenated [src; dst] index; _STACK_AGG folds the two edge-side
+# mismatch aggregations AND the generator injection into ONE (N, 2E+G)
+# incidence contraction (col0 = p_sum + pg_bus, col1 = q_sum). Both are
+# numerically exact restructurings with strictly fewer ops.
+#
+# Tried and REJECTED as defaults (kept as tested opt-ins): in-process A/B
+# at the headline train config (case300 K=4 b256 bf16 fold hybrid,
+# two-point RTT-cancelled scan timing, 2 interleaved rounds) measured
+# baseline 0.994-1.007 ms/step vs gather-only 1.004-1.034, agg-only
+# 1.015-1.029, both 1.031-1.034 — every stacked variant is a wash or a
+# ~3% LOSS. The step is not bound by these op launches: XLA already
+# overlaps the two small (N,E) contractions, and the stacked version pays
+# real concatenate copies of the trig message rows every K-step.
+_STACK_GATHER = False
+_STACK_AGG = False
+
 
 def physics_refresh(
     v,
@@ -171,7 +189,24 @@ def physics_refresh(
         q_from = -vv_s * cos_angs + (v_s / tau_s) ** 2 * (y_s * cos_ds - b_s / 2)
         q_to = -vv_d * cos_angd + v_d**2 * (y_d * sin_djd - b_d / 2)
     else:
-        p_f, q_f, p_t, q_t = branch_flows(v, theta, geom, gather_method=gmethod)
+        # Stacked-incidence fast path (paper mode, not edge-partitioned):
+        # the from- and to-side bus gathers collapse into ONE (2E, 2) take
+        # on the concatenated [src; dst] index — one forward copy and one
+        # transposed (N, 2E) matmul in the VJP instead of two (N, E) ones.
+        stackable = edge_axis is None and method != "degree"
+        stacked = stackable and _STACK_AGG
+        at_src = at_dst = None
+        if stackable and _STACK_GATHER:
+            from gns_tpu.ops.segment import gather
+
+            both_idx = jnp.concatenate([src, dst])
+            vth = jnp.stack([v, theta], axis=1)
+            at_both = gather(vth, both_idx, method=gmethod)
+            n_e = src.shape[0]
+            at_src, at_dst = at_both[:n_e], at_both[n_e:]
+        p_f, q_f, p_t, q_t = branch_flows(
+            v, theta, geom, gather_method=gmethod, at_src=at_src, at_dst=at_dst
+        )
         p_joule = _psum(jnp.sum((p_f + p_t) * lm))
         # sign conventions of the unfused paper path: flows INTO the line
         p_from, p_to = -p_f, -p_t  # imbalance subtracts line draw
@@ -186,6 +221,17 @@ def physics_refresh(
         agg_src = _psum(segsum_src(to_pair))
         p_sum = agg_dst[:, 0] + agg_src[:, 0]
         q_sum = agg_dst[:, 1] + agg_src[:, 1]
+    elif stacked:
+        # ONE (N, 2E+G) incidence contraction computes the active/reactive
+        # mismatch sums AND the per-bus generator injection together: the
+        # generator rows ride along with q-column 0, so col0 of the result
+        # is p_sum + pg_bus (exactly the combination delta_p needs) and
+        # col1 is q_sum. One MXU matmul forward + one transposed matmul in
+        # the VJP replace the former three (two edge sides + gens). The
+        # lambda dispatch needs p_joule first, so pg_new is computed just
+        # below and the aggregation is deferred until after it.
+        from_pair = jnp.stack([p_from, q_from], axis=1) * lm_col  # @ src side
+        to_pair = jnp.stack([p_to, q_to], axis=1) * lm_col  # @ dst side
     else:
         from_pair = jnp.stack([p_from, q_from], axis=1) * lm_col  # @ src side
         to_pair = jnp.stack([p_to, q_to], axis=1) * lm_col  # @ dst side
@@ -208,6 +254,20 @@ def physics_refresh(
         p_global = pdm.sum() + jnp.sum(v2m * gs) + p_joule
         pg_new = _lambda_dispatch(p_global, gens, gen_mask)
 
+    pg = pg_new * gen_mask if gen_mask is not None else pg_new
+    if not reference_parity and stacked:
+        # Deferred stacked aggregation (see above): generator injections
+        # join the edge mismatch rows in one (N, 2E+G) contraction.
+        gen_rows = jnp.stack([pg, jnp.zeros_like(pg)], axis=1)
+        idx_all = jnp.concatenate([src, dst, gen_bus_ids])
+        rows = jnp.concatenate([from_pair, to_pair, gen_rows], axis=0)
+        agg = segment_sum(rows, idx_all, n, method=method)
+        q_sum = agg[:, 1]
+        delta_p = agg[:, 0] - pd - gs * v2  # col0 = p_sum + pg_bus
+    else:
+        pg_bus = segsum_gen(pg)
+        delta_p = pg_bus - pd - gs * v2 + p_sum
+
     # reactive set-point: qg_new = Qd - Bs v^2 - (reactive line sums)
     qg_start = qd - bs * v2
     qg_new = qg_start - q_sum
@@ -219,11 +279,6 @@ def physics_refresh(
             ones = gen_mask if gen_mask is not None else jnp.ones(gens.shape[0])
             gen_bus_mask = (segsum_gen(ones) > 0).astype(qg_new.dtype)
         qg_new = qg_new * gen_bus_mask
-
-    # ---- local imbalance (main.py:81-103) with qg_k = qg_new ----
-    pg = pg_new * gen_mask if gen_mask is not None else pg_new
-    pg_bus = segsum_gen(pg)
-    delta_p = pg_bus - pd - gs * v2 + p_sum
     if dispatch == "setpoint_slack":
         if slack_mask is None:
             slack_mask = (

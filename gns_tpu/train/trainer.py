@@ -54,17 +54,23 @@ def make_train_step(
     method: str = "auto",
     donate: bool = True,
     topo=None,
+    dense: bool = False,
 ) -> Callable:
     """Build the jitted update step: (TrainState, GridBatch) -> (TrainState, metrics).
 
     metrics = {loss, last_loss}: mean discounted training loss and mean
     undiscounted final-step residual (the reference's early-stop signal,
     main.py:283-285).
+
+    dense: the batches are unpadded (GridBatch.is_dense()) — skip every
+    mask multiply and the masks' HBM reads (exact; auto-set by train()).
     """
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, batch: GridBatch):
-        out = gns_forward_batch(params, cfg, batch, method=method, topo=topo)
+        out = gns_forward_batch(
+            params, cfg, batch, method=method, topo=topo, dense=dense
+        )
         return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
 
     def step_fn(state: TrainState, batch: GridBatch):
@@ -87,6 +93,7 @@ def make_epoch_step(
     method: str = "auto",
     donate: bool = True,
     topo=None,
+    dense: bool = False,
 ) -> Callable:
     """Device-side epoch: one dispatch runs a lax.scan of update steps over
     a stacked batch axis.
@@ -101,7 +108,9 @@ def make_epoch_step(
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, batch: GridBatch):
-        out = gns_forward_batch(params, cfg, batch, method=method, topo=topo)
+        out = gns_forward_batch(
+            params, cfg, batch, method=method, topo=topo, dense=dense
+        )
         return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
 
     def one_step(state: TrainState, batch: GridBatch):
@@ -135,11 +144,14 @@ def stack_epoch(data: GridBatch, batch_size: int) -> GridBatch:
     )
 
 
-def make_eval_step(cfg: GNSConfig, method: str = "auto", topo=None) -> Callable:
+def make_eval_step(cfg: GNSConfig, method: str = "auto", topo=None,
+                   dense: bool = False) -> Callable:
     """Jitted inference: (params, GridBatch) -> batched GNSOutput."""
 
     def fn(params, batch: GridBatch):
-        return gns_forward_batch(params, cfg, batch, method=method, topo=topo)
+        return gns_forward_batch(
+            params, cfg, batch, method=method, topo=topo, dense=dense
+        )
 
     return jax.jit(fn)
 
@@ -172,7 +184,9 @@ def train(
     # Augmented single-case datasets share one topology: exploit it so every
     # edge aggregation is one whole-batch MXU contraction.
     topo = extract_shared_topology(data)
-    epoch_step = make_epoch_step(cfg, method=method, topo=topo)
+    epoch_step = make_epoch_step(
+        cfg, method=method, topo=topo, dense=data.is_dense()
+    )
     stacked = stack_epoch(data, bs)
 
     best_loss = float("inf")
@@ -255,7 +269,8 @@ def train_multi(
         bs = min(cfg.batch_size, data.batch_size)
         steps.append(
             make_epoch_step(
-                cfg, method=method, topo=extract_shared_topology(data)
+                cfg, method=method, topo=extract_shared_topology(data),
+                dense=data.is_dense(),
             )
         )
         stackeds.append(stack_epoch(data, bs))

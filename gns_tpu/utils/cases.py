@@ -14,6 +14,18 @@ environment (zero egress), so the framework ships its own case sources:
     Newton-Raphson converges on them. They are stand-ins for benchmarking and
     end-to-end testing, not the historical IEEE data.
 
+    Why not embed the real tables? In a zero-egress environment there is no
+    way to VERIFY a hand-reconstructed IEEE table (no pypower/pandapower/
+    MATPOWER source to diff against, and the published NR solutions for
+    these cases are not available here either) — and data silently labeled
+    "IEEE case30" that is subtly wrong is strictly worse than a correctly
+    labeled stand-in: every downstream accuracy number would inherit an
+    unverifiable claim. The stand-ins are therefore loudly labeled here, in
+    README.md and in every ACCURACY.md table (footnoted), and swapping in
+    authentic tables later is a pure data change: any pypower-format case
+    dict (or pickle in the reference's layout) drops into `load_case` /
+    `prepare_case` unchanged — case14 already ships exactly that way.
+
 A case is a dict with the pypower case-dict layout (version, baseMVA, bus,
 gen, branch, gencost) so pickles produced here are drop-in compatible with
 the reference's data directory format (SURVEY.md C17).

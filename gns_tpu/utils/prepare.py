@@ -116,6 +116,19 @@ class GridBatch(NamedTuple):
             idx = slice(idx, idx + 1)
         return GridBatch(*(a[idx] for a in self))
 
+    def is_dense(self) -> bool:
+        """True when no grid is padded: every mask is all-ones and every
+        n_bus equals the bucket's bus dimension. Host-side check (call on
+        numpy data before jitting); lets the trainer take the dense fast
+        path that skips every mask multiply and mask HBM read — exact for
+        unpadded batches (x*1 == x, n_real == N)."""
+        return bool(
+            np.all(np.asarray(self.n_bus) == self.buses.shape[1])
+            and np.all(np.asarray(self.bus_mask) == 1)
+            and np.all(np.asarray(self.line_mask) == 1)
+            and np.all(np.asarray(self.gen_mask) == 1)
+        )
+
 
 class GridTopology(NamedTuple):
     """Shared (batch-invariant) graph topology: 0-based index arrays.

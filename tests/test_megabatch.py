@@ -49,6 +49,34 @@ def test_padded_loss_matches_unpadded(megabatch):
     )
 
 
+def test_dense_fast_path_matches_masked(megabatch):
+    """dense=True (mask-free lowering for unpadded batches) is numerically
+    identical to the masked path; GridBatch.is_dense() gates it."""
+    params = init_gns_params(jax.random.key(0), CFG)
+    batch = batch_from_cases(list(generate_cases(14, 5, seed=7)))  # unpadded
+    assert batch.is_dense()
+    assert not megabatch.is_dense()  # padded bucket: masks load-bearing
+    masked = gns_forward_batch(params, CFG, batch, method="onehot")
+    dense = gns_forward_batch(params, CFG, batch, method="onehot", dense=True)
+    np.testing.assert_allclose(
+        np.asarray(dense.v), np.asarray(masked.v), rtol=2e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.total_loss), np.asarray(masked.total_loss), rtol=2e-6
+    )
+    # train-step equality through the dense epoch path
+    from gns_tpu.train.trainer import init_train_state, make_train_step
+
+    s0 = init_train_state(jax.random.key(1), CFG)
+    _, m_ref = make_train_step(CFG, method="onehot", donate=False)(s0, batch)
+    _, m_dense = make_train_step(
+        CFG, method="onehot", donate=False, dense=True
+    )(s0, batch)
+    np.testing.assert_allclose(
+        float(m_dense["loss"]), float(m_ref["loss"]), rtol=2e-6
+    )
+
+
 def test_padded_loss_matches_unpadded_case30(megabatch):
     params = init_gns_params(jax.random.key(0), CFG)
     padded = gns_forward_batch(params, CFG, megabatch, method="scatter")

@@ -121,6 +121,50 @@ def test_physics_degree_matches_scatter():
             np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
+def test_physics_stacked_matches_unstacked():
+    """The stacked-incidence paper-mode physics lowerings (fused.py
+    _STACK_GATHER: one (2E,2) gather; _STACK_AGG: one (N,2E+G)
+    aggregation) are exact restructurings — forward AND gradients match
+    the default two-sided path. Kept as measured opt-ins (a wash-to-3%-
+    loss at the headline config; see the module comment)."""
+    import gns_tpu.physics.fused as fused
+    from gns_tpu.physics.fused import physics_refresh
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.prepare import batch_from_cases, extract_shared_topology
+
+    batch = batch_from_cases(list(generate_cases(30, 2, seed=4)))
+    topo = extract_shared_topology(batch)
+    n = batch.buses.shape[1]
+    v = jnp.ones(n) * 1.01 + 0.01 * jnp.arange(n) / n
+    th = 0.02 * jnp.sin(jnp.arange(n).astype(jnp.float32))
+
+    def run(qg_gen_only):
+        def f(v, th):
+            out = physics_refresh(
+                v, th, batch.buses[0], batch.lines[0], batch.generators[0],
+                reference_parity=False, method="onehot", topo=topo,
+                qg_gen_only=qg_gen_only,
+            )
+            return sum((x ** 2).sum() for x in out[1:])
+        return float(f(v, th)), jax.grad(f, argnums=(0, 1))(v, th)
+
+    try:
+        fused._STACK_GATHER, fused._STACK_AGG = False, False
+        base_l, base_g = run(True)
+        for flags in ((True, False), (False, True), (True, True)):
+            fused._STACK_GATHER, fused._STACK_AGG = flags
+            l, g = run(True)
+            np.testing.assert_allclose(l, base_l, rtol=1e-6)
+            # exact in real arithmetic; f32 reassociation noise only (the
+            # stacked contraction sums in a different order)
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(base_g)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+                )
+    finally:
+        fused._STACK_GATHER, fused._STACK_AGG = False, False
+
+
 def test_broadcast_col0_quirk():
     data, seg, n = _random_problem(2, d=1)
     out = np.asarray(broadcast_col0_segment_sum(data, seg, n, latent_dim=6))

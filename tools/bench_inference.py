@@ -56,6 +56,7 @@ def main():
             list(generate_cases(case, args.batch - 1, seed=7))
         )
         topo = extract_shared_topology(batch)
+        dense = batch.is_dense()  # unpadded: mask-free lowering (exact)
         batch = jax.device_put(batch)
         n_edges = batch.lines.shape[1]
 
@@ -68,7 +69,8 @@ def main():
                     # scan: the perturbation is 1e-30-scale, invisible.
                     b = batch._replace(buses=batch.buses * (1.0 + c * 1e-30))
                     out = gns_forward_batch(
-                        params, cfg, b, method="onehot", topo=topo
+                        params, cfg, b, method="onehot", topo=topo,
+                        dense=dense,
                     )
                     return out.v.mean() + out.theta.mean(), None
                 s, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
