@@ -88,6 +88,7 @@ def main():
         print("WARNING: no checkpoint given — evaluating a random init")
         params = init_gns_params(jax.random.key(0), cfg)
 
+    fell_back = False
     if not args.from_base_case:
         try:
             cases = load_eval_cases(
@@ -97,11 +98,25 @@ def main():
         except FileNotFoundError as e:
             # Out-of-box path: the reference ships data/case14 so its eval
             # "just runs" (GNS/evaluate.py:31-32); we ship a generator
-            # instead, so when no pickles exist fall back to in-memory
-            # grids rather than dying on a fresh clone.
+            # instead, so when NO dataset exists fall back to in-memory
+            # grids rather than dying on a fresh clone. A PARTIALLY
+            # present dataset (the case directory exists but a pickle in
+            # the requested range is missing — wrong --total-grids, a
+            # truncated generation) is a real error and propagates:
+            # silently evaluating different grids than requested would
+            # corrupt cross-run comparisons.
+            import os
+
+            from gns_tpu.utils.prepare import pickle_path
+
+            case_dir = os.path.dirname(
+                pickle_path(args.case, 0, args.data_dir)
+            )
+            if os.path.isdir(case_dir):
+                raise
             print(f"WARNING: {e}\nWARNING: falling back to --from-base-case "
                   f"(in-memory seeded augmentation of the base case)")
-            args.from_base_case = True
+            args.from_base_case = fell_back = True
     if args.from_base_case:
         from gns_tpu.utils.augment import generate_cases
 
@@ -112,6 +127,10 @@ def main():
 
     m = evaluate(params, cfg, cases, method=args.method, plot_path=args.plot,
                  nr_backend=args.nr_backend)
+    if fell_back:
+        # Recorded in the metrics so --json-out consumers can tell these
+        # numbers were measured on generated grids, not the dataset.
+        m["fallback_from_base_case"] = True
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(m, f, indent=2)

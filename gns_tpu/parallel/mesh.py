@@ -102,20 +102,31 @@ def initialize_distributed(**kwargs) -> None:
     reports 1 even on a pod).
 
     Behavior:
-      * already initialized (client present) -> no-op.
+      * already initialized (jax.distributed.is_initialized()) -> no-op,
+        so library and launcher may both call this.
       * explicit kwargs (coordinator_address, num_processes, process_id,
         ...) -> initialize with them; failures PROPAGATE (silently falling
         back to a 1-host run on a real pod would be a correctness bug).
       * no kwargs -> auto-detect the cluster environment (TPU pod metadata,
-        GKE, Slurm, ...); if none is detected JAX raises and we proceed
-        single-process, which is the right default for local dev.
+        GKE, Slurm, ...); if NO environment is detected JAX raises
+        ValueError("coordinator_address should be defined") and we proceed
+        single-process — the right default for local dev. Any OTHER
+        failure (cluster detected but coordinator unreachable, timeout)
+        PROPAGATES: swallowing it would silently train each host
+        independently with no gradient sync.
     """
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return  # already initialized
+    # Fallback guard for JAX versions without is_initialized().
     state = getattr(jax.distributed, "global_state", None)
     if state is not None and getattr(state, "client", None) is not None:
-        return  # already initialized
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
+    except Exception as e:
         if kwargs:
             raise
-        # No kwargs and no detectable cluster env: single-process run.
+        if isinstance(e, ValueError) and "coordinator_address" in str(e):
+            return  # no cluster env detected: single-process dev run
+        raise

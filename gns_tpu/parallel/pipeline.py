@@ -61,6 +61,13 @@ def _pipeline_body(cfg: GNSConfig, n_stages: int, microbatch: int, pp: str,
         # params_local leaves: (K/S, ...) — this stage's step weights.
         s = jax.lax.axis_index(pp)
         bsz = batch.buses.shape[0]
+        if bsz % microbatch:
+            # Flooring n_micro would silently DROP the remainder grids
+            # from the loss/gradients (the forward's reshape would catch
+            # it loudly, but the train path has no reshape).
+            raise ValueError(
+                f"batch size {bsz} not divisible by microbatch={microbatch}"
+            )
         n_micro = bsz // microbatch
         latent = cfg.latent_dim
         n = batch.buses.shape[1]

@@ -78,6 +78,25 @@ def test_eval_cli_fallback_without_pickles(tmp_path):
     assert "falling back to --from-base-case" in r.stdout
     m = json.loads((tmp_path / "m.json").read_text())
     assert "v_mse" in m
+    # the JSON records that these numbers came from generated grids
+    assert m["fallback_from_base_case"] is True
+
+
+def test_eval_cli_partial_dataset_errors(tmp_path):
+    """A PARTIALLY present dataset (case dir exists, requested pickle
+    missing — e.g. wrong --total-grids) is a real error, not a silent
+    fallback onto different grids."""
+    data_dir = str(tmp_path / "data")
+    r0 = run_cli(["gns_tpu.utils", "--case", "9", "--num", "4", "--seed", "1",
+                  "--data-dir", data_dir])
+    assert r0.returncode == 0, r0.stderr[-800:]
+    r = run_cli([
+        "gns_tpu.eval", "--cpu", "--case", "9", "--K", "2", "--latent", "4",
+        "--hidden", "4", "--samples", "3", "--data-dir", data_dir,
+        "--total-grids", "100",
+    ])
+    assert r.returncode != 0
+    assert "FileNotFoundError" in r.stderr
 
 
 def test_train_cli_megabatch(tmp_path):

@@ -89,17 +89,32 @@ def test_hybrid_mesh_validation():
 
 
 class _FakeDistributed:
-    """Stand-in for jax.distributed recording initialize() calls."""
+    """Stand-in for jax.distributed recording initialize() calls.
 
-    def __init__(self, client=None, raise_on_init=None):
-        self.global_state = type("S", (), {"client": client})()
+    Mirrors the REAL jax.distributed surface of this JAX version:
+    is_initialized() exists (tests/test_hybrid_mesh.py asserts so below),
+    and a no-arg initialize() with no cluster env raises
+    ValueError("coordinator_address should be defined.")."""
+
+    def __init__(self, initialized=False, raise_on_init=None):
+        self._initialized = initialized
         self.calls = []
         self.raise_on_init = raise_on_init
+
+    def is_initialized(self):
+        return self._initialized
 
     def initialize(self, **kw):
         self.calls.append(kw)
         if self.raise_on_init is not None:
             raise self.raise_on_init
+
+
+def test_real_jax_distributed_surface():
+    """The helper's guards rely on this JAX version's actual surface —
+    pin it so the fake above can't drift into testing fiction."""
+    assert hasattr(jax.distributed, "is_initialized")
+    assert jax.distributed.is_initialized() is False
 
 
 def test_initialize_distributed_call_order(monkeypatch):
@@ -130,23 +145,41 @@ def test_initialize_distributed_call_order(monkeypatch):
 
 
 def test_initialize_distributed_noop_when_initialized(monkeypatch):
+    """Idempotent: a second call (library + launcher both init) no-ops."""
     from gns_tpu.parallel import mesh as mesh_mod
 
-    fake = _FakeDistributed(client=object())
+    fake = _FakeDistributed(initialized=True)
     monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
     mesh_mod.initialize_distributed(coordinator_address="h0:1234")
     assert fake.calls == []
 
 
 def test_initialize_distributed_error_propagation(monkeypatch):
-    """Explicit kwargs: failures propagate (a silent 1-host fallback on a
-    real pod would be a correctness bug). No kwargs: auto-detect failure
-    means local dev — proceed single-process."""
+    """Explicit kwargs: failures propagate. No kwargs: ONLY the
+    'no cluster environment detected' ValueError is swallowed (local
+    dev); a detected-but-unreachable cluster propagates — a silent
+    1-host fallback on a real pod trains without gradient sync."""
     from gns_tpu.parallel import mesh as mesh_mod
 
     fake = _FakeDistributed(raise_on_init=RuntimeError("no cluster"))
     monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
     with pytest.raises(RuntimeError):
         mesh_mod.initialize_distributed(coordinator_address="h0:1234")
-    mesh_mod.initialize_distributed()  # auto-detect path: swallowed
-    assert len(fake.calls) == 2
+
+    # no kwargs + no cluster env (the error jax actually raises here,
+    # pinned by test_real_jax_distributed_surface): swallowed
+    fake = _FakeDistributed(
+        raise_on_init=ValueError("coordinator_address should be defined.")
+    )
+    monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
+    mesh_mod.initialize_distributed()
+    assert len(fake.calls) == 1
+
+    # no kwargs but a REAL failure (cluster detected, coordinator down):
+    # must propagate, not silently fall back to single-process
+    fake = _FakeDistributed(
+        raise_on_init=RuntimeError("barrier timed out connecting to coordinator")
+    )
+    monkeypatch.setattr(mesh_mod.jax, "distributed", fake)
+    with pytest.raises(RuntimeError):
+        mesh_mod.initialize_distributed()

@@ -62,11 +62,13 @@ def main():
         state = init_train_state(jax.random.key(0), cfg)
 
         # one-batch epoch scan: the exact program train() dispatches
-        step = make_epoch_step(cfg, donate=False, topo=topo)
+        # (dense = unpadded single-case batches, the production shape)
+        dense = batch.is_dense()
+        step = make_epoch_step(cfg, donate=False, topo=topo, dense=dense)
         stacked = stack_epoch(batch, batch_size)
         step.lower(state, stacked).compile()
 
-        ev = make_eval_step(cfg, topo=topo)
+        ev = make_eval_step(cfg, topo=topo, dense=dense)
         ev.lower(state.params, batch).compile()
         print(f"  {label}: compiled train+eval in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)

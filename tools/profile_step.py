@@ -36,7 +36,11 @@ def main():
     p.add_argument("--inner", type=int, default=128)
     p.add_argument("--repeats", type=int, default=3,
                    help="timed dispatches per scan length; min taken")
-    p.add_argument("--method", default="onehot")
+    # 'auto' resolves to the production lowering (hybrid custom-VJP ops on
+    # TPU) — the default must measure what bench.py/train actually run
+    # ('onehot' reads ~1.5 ms vs the production 1.0 ms at the headline
+    # config, a phantom 50% regression).
+    p.add_argument("--method", default="auto")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--remat", default="auto", choices=["auto", "on", "off"])
     p.add_argument("--unroll", type=int, default=None)
