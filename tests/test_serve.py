@@ -1,0 +1,52 @@
+"""Serving API: batched prediction with program reuse + gauge decode."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gns_tpu.models.gns import gns_forward, init_gns_params
+from gns_tpu.serve import GNSPredictor, predict
+from gns_tpu.utils.augment import generate_cases
+from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import prepare_case
+
+CFG = GNSConfig(K=2, latent_dim=8, hidden_dim=8, reference_parity=False)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return init_gns_params(jax.random.key(0), CFG)
+
+
+def test_predict_matches_single_grid_forward(model):
+    cases = list(generate_cases(14, 3, seed=31))
+    out = predict(model, CFG, cases, method="scatter", align_slack=False)
+    assert out["v"].shape == (4, 14) and out["theta"].shape == (4, 14)
+    for i, case in enumerate(cases):
+        buses, lines, gens = prepare_case(case)
+        ref = gns_forward(model, CFG, buses, lines, gens, method="scatter")
+        np.testing.assert_allclose(out["v"][i], np.asarray(ref.v),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(out["theta"][i], np.asarray(ref.theta),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_predict_decodes_slack_gauge(model):
+    cases = list(generate_cases(14, 2, seed=32))
+    out = predict(model, CFG, cases, method="scatter")
+    bus = np.asarray(cases[0]["bus"])
+    slack = int(np.flatnonzero(bus[:, 1] == 3)[0])
+    np.testing.assert_allclose(
+        out["theta"][:, slack], np.deg2rad(bus[slack, 8]), atol=1e-6
+    )
+
+
+def test_predictor_pads_and_reuses_program(model):
+    pred = GNSPredictor(model, CFG, batch_size=8, method="scatter")
+    a = pred.predict(list(generate_cases(9, 2, seed=33)))   # 3 grids -> pad 8
+    b = pred.predict(list(generate_cases(9, 4, seed=34)))   # 5 grids -> pad 8
+    assert a["v"].shape == (3, 9) and b["v"].shape == (5, 9)
+    assert len(pred._compiled) == 1  # one program served both requests
+    with pytest.raises(ValueError):
+        pred.predict([])
