@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gns_tpu.models.gns import gns_forward
 from gns_tpu.train.trainer import TrainState, make_optimizer

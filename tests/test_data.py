@@ -57,6 +57,23 @@ def test_synthetic_cases_connected():
         assert nx.is_connected(gph), f"case{nr} synthetic grid not connected"
 
 
+def test_case30_reproduces_published_solution():
+    """The shipped case30 is the canonical IEEE 30-bus network: NR from
+    flat start must reproduce the published solution — total losses
+    17.557 MW, slack ~260.96 MW on the 283.4 MW load (whole-table
+    checksum; see gns_tpu/utils/cases.py docstring)."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    c = cases.load_case(30)
+    assert abs(c["bus"][:, 2].sum() - 283.4) < 1e-9
+    res = newton_raphson_pf(c)
+    assert res.success and res.iterations <= 5
+    losses = res.gen[:, 1].sum() - c["bus"][:, 2].sum()
+    assert abs(losses - 17.557) < 5e-3, losses
+    assert abs(res.gen[0, 1] - 260.96) < 0.05
+    assert abs(res.vm[-1] - 0.992) < 1e-3
+
+
 def test_augment_semantics():
     """Perturbation families of augment_grids.py:25-54 under a fixed seed."""
     base = cases.load_case(14)

@@ -111,7 +111,7 @@ def test_edge_partitioned_train_step_matches(data300):
 def test_edge_partitioned_gradients_match(data300):
     """The strict invariant: grad-through-shard_map == single-device grad."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from gns_tpu.models.gns import gns_forward
