@@ -242,6 +242,7 @@ def solve_batched(
     tol: float = 3e-5,
     max_iter: int = 20,
     chunk_size: int = 256,
+    warm_start=None,
 ) -> Dict:
     """Solve every case; returns {"v", "theta_deg", "converged", "iterations"}.
 
@@ -249,6 +250,13 @@ def solve_batched(
     (case300 at 256 grids is ~184 MB). Non-converged grids keep their last
     iterate, flagged False — callers filter exactly as with the scipy oracle
     (harness.compute_metrics drops them).
+
+    warm_start: optional (v (S, N), theta_rad (S, N)) initial guess — e.g.
+    a GNS prediction (eval/hybrid.py). Only the free unknowns are seeded:
+    |v| at PQ buses and angles at PV+PQ buses; PV-bus magnitudes stay at
+    their set-points and the slack stays at the case's (input) Va, exactly
+    like the flat start. The solved fixed point is unchanged (Newton's
+    root does not depend on the start); only the iteration count does.
 
     tol default 3e-5: safely above the float32 mismatch floor (~1e-5 on
     the largest cases) so solvable grids are not flagged non-converged by
@@ -260,6 +268,13 @@ def solve_batched(
     vms, vas, convs, its = [], [], [], []
     for lo in range(0, len(cases), chunk_size):
         nb = build_nr_batch(cases[lo:lo + chunk_size])
+        if warm_start is not None:
+            wv = np.asarray(warm_start[0][lo:lo + chunk_size], np.float32)
+            wth = np.asarray(warm_start[1][lo:lo + chunk_size], np.float32)
+            vm0, va0 = nb.vm0.copy(), nb.va0.copy()
+            vm0[:, nb.pq] = wv[:, nb.pq]
+            va0[:, nb.pvpq] = wth[:, nb.pvpq]
+            nb = nb._replace(vm0=vm0, va0=va0)
         vm, va, conv, it = _nr_solve(
             jnp.asarray(nb.gmat), jnp.asarray(nb.bmat),
             jnp.asarray(nb.p_sched), jnp.asarray(nb.q_sched),
