@@ -147,7 +147,9 @@ def run_gns(params, cfg: GNSConfig, cases: List[Dict], method: str = "auto",
     )
     times, v_out, th_out, losses, flows = [], [], [], [], []
     for case in cases:
-        buses, lines, gens = prepare_case(case)
+        buses, lines, gens = prepare_case(
+            case, paper_shunts=not cfg.true_shunts
+        )
         out = fwd(params, buses, lines, gens)  # warm cache for this shape
         jax.block_until_ready(out.v)
         t0 = time.perf_counter()

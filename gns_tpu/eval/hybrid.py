@@ -14,10 +14,16 @@ pipeline that stays on the TPU end to end:
          (nr_batched.solve_batched(warm_start=...), lock-step LU on MXU)
 
 The result is EXACT (same fixed point as a flat start — Newton's root does
-not depend on the iterate it starts from; only the iteration count does),
-so this is a pure-speed play: measured by tools/bench_hybrid.py as
-iterations-to-tolerance and end-to-end wall time, flat vs warm, in one
-process (the only honest A/B on this relay — CLAUDE.md).
+not depend on the iterate it starts from; only the iteration count does).
+Measured honestly (tools/bench_hybrid.py, one process — the only honest
+A/B on this relay, CLAUDE.md): with the shipped sup checkpoints the warm
+start saves 1-2 of 5-7 Newton iterations (c14 5→3, c30 7→6, c118 7→6,
+c300 5→5) with 256/256 convergence in both arms, but end-to-end wall time
+is 0.58-0.84x — the extra forward dispatch plus host prep outweighs the
+saved iterations, and the lock-step batched while_loop is gated by the
+worst grid in the chunk, which the prediction helps least. Ships as a
+correctness/robustness surface and for hot-start workloads (time-series
+re-solve); see ROADMAP.md #8 for the full measurement.
 """
 
 from __future__ import annotations

@@ -246,10 +246,12 @@ def gns_machinery(
         raise ValueError("edge-partitioned execution requires reference_parity=False")
     if cfg.reference_parity and (
         cfg.qg_gen_only or cfg.dispatch != "lambda" or cfg.slack_anchor
+        or cfg.v_anchor
     ):
         raise ValueError(
-            "qg_gen_only / dispatch='setpoint_slack' / slack_anchor are "
-            "paper-mode options: set reference_parity=False (utils/config.py)"
+            "qg_gen_only / dispatch='setpoint_slack' / slack_anchor / "
+            "v_anchor are paper-mode options: set reference_parity=False "
+            "(utils/config.py)"
         )
 
     def _psum(x):
@@ -339,6 +341,13 @@ def gns_machinery(
         anchor_mask = (buses[:, BUS["type"]] == BUS_TYPE_SLACK).astype(f32)
         if bm is not None:
             anchor_mask = anchor_mask * bm
+    # High-voltage-branch tie-breaker on the free (non-generator) buses
+    # (paper mode; see utils/config.py v_anchor).
+    v_anchor_mask = None
+    if cfg.v_anchor:
+        v_anchor_mask = 1.0 - is_gen.astype(f32)
+        if bm is not None:
+            v_anchor_mask = v_anchor_mask * bm
     lm_col = lm[:, None] if lm is not None else None
 
     def line_masked(x):
@@ -466,6 +475,11 @@ def gns_machinery(
         if anchor_mask is not None:
             step_loss = step_loss + cfg.slack_anchor * jnp.sum(
                 anchor_mask * theta * theta
+            ) / n_real
+        if v_anchor_mask is not None:
+            dv = v - 1.0
+            step_loss = step_loss + cfg.v_anchor * jnp.sum(
+                v_anchor_mask * dv * dv
             ) / n_real
         total_loss = total_loss + disc * step_loss
         return (v, theta, m, delta_p, delta_q, total_loss), None

@@ -13,40 +13,52 @@ Provenance: trained on one TPU v5e chip with reference-parity physics on
 `python -m gns_tpu.train`, 1000 grids, 600 epochs). Held-out physics
 residuals (fresh augmentation seed):
 
-  case9 0.0070 | case14 0.0367 | case30 0.0994 | case118 0.0166 |
-  case300 0.0343   (each trained in 1-4 min wall; ACCURACY.md's
-  101-epoch parity run for context: gns_tpu 0.053, reference 0.062)
+  case9 0.0070 | case14 0.0367 | case30 0.0117 | case118 0.0166 |
+  case300 0.0343   (each trained in minutes; case30 on the authentic
+  IEEE table since round 2 — older synthetic-era numbers in git history
+  are not comparable. ACCURACY.md's 101-epoch parity run for context:
+  gns_tpu 0.053, reference 0.062)
 
 Variant checkpoints (tools/train_pretrained_extras.py):
   "300-deep" (K=8, latent 40): held-out residual 0.0068 — 5x better than
   the K=4 case300 model, trained in ~7 min.
   "multi" (one model, all five cases, train_multi round-robin): held-out
-  residuals c9 0.051 / c14 0.081 / c30 0.131 / c118 0.033 / c300 0.064 —
-  a single parameter set within ~2-4x of the per-case specialists.
+  residuals c9 0.0395 / c14 0.0648 / c30 0.0438 / c118 0.0337 /
+  c300 0.0602 — a single parameter set within ~2-4x of the per-case
+  specialists.
 
 Paper-physics checkpoints ("{c}-paper", tools/train_pretrained.py
 --physics paper; textbook residual + the quirk-Q8 fix qg_gen_only): v MSE
 vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
-  c9 0.00046 | c14 0.00119 | c30 0.00285 | c118 0.00106 | c300 0.00078
+  c9 0.00046 | c14 0.00119 | c30 0.0552* | c118 0.00106 | c300 0.00078
   (c300 at augmentation scale=0.5; see utils/augment.py). The parity
   checkpoints score 0.0170 (c118) / 0.0104 (c300) on the same protocol:
   the paper models are 13-16x closer to the oracle. Parity checkpoints
   remain the default for reference-identical behavior.
+  *case30 is the authentic IEEE grid — a structurally harder unsupervised
+  problem (true shunts + multiple power-flow branches at reference-
+  strength augmentation; ACCURACY.md "authentic IEEE case30"). Its
+  recipe is setpoint_slack + true_shunts + v_anchor 0.1, the best of the
+  measured ablations (0.0552 vs 0.070 paper-shunt-λ, 0.44/0.50 unanchored
+  drift); for the best unsupervised case30 weights use "multi-paper".
   "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039 — the
   most accurate unsupervised shipped model.
-  "multi-paper" (ONE weight set, all five cases, same recipe): v MSE
-  c9 0.00096 / c14 0.00297 / c30 0.00525 / c118 0.00149 / c300 0.00084 —
-  the generalist beats every parity-mode specialist.
+  "multi-paper" (ONE weight set, all five cases, λ + qg_gen_only): v MSE
+  c9 0.00073 / c14 0.00306 / c30 0.00905 / c118 0.00138 / c300 0.00081.
+  The generalist beats every parity-mode specialist AND the case30 paper
+  specialist by 6x: cross-case training regularizes against the
+  low-voltage-branch drift that traps the single-case objective.
 
 Supervised fine-tuned checkpoints ("{c}-sup", tools/train_supervised.py
 --warm-start {c}-paper --export; loss = NR-label supervision + 0.1 *
 physics on NR-feasible grids): v MSE vs the oracle on 64 held-out
 feasible grids —
-  c9 0.00040 | c14 0.00064 | c30 0.00263 | c118 0.00071 | c300 0.00063
+  c9 0.00040 | c14 0.00064 | c30 0.00724 | c118 0.00071 | c300 0.00063
   — the most oracle-accurate weights per case at the reference's best
-  architecture, improving on their paper warm-starts by 1.1-1.9x
-  (case300 at augmentation scale=0.5 like its paper sibling; case30/118/
-  300 grids are synthetic stand-ins, see utils/cases.py and README).
+  architecture (case300 at augmentation scale=0.5 like its paper
+  sibling; case30 on the authentic IEEE table with true-shunt inputs;
+  case118/300 grids are synthetic stand-ins, see utils/cases.py and
+  README).
 """
 
 from __future__ import annotations
@@ -103,6 +115,18 @@ for c in (9, 14, 30, 118, 300):
         f"pretrained_c{c}_K4_L20_H10_paper.pth",
         dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
     )
+# The authentic IEEE case30 (utils/cases.py) needs the oracle-consistent
+# recipe: true shunts (its 19 MVAr bank at bus 10 is erased by the paper
+# defaults), NR's own dispatch convention, and the weak high-voltage-
+# branch tie-breaker — under reference-strength augmentation the branches
+# come close enough that pure-residual training drifts onto low-voltage
+# solutions (GNSConfig.v_anchor). The config must match training so eval
+# surfaces prepare the same inputs (true_shunts drives data prep).
+_PRETRAINED["30-paper"] = (
+    "pretrained_c30_K4_L20_H10_paper.pth",
+    dict(case_nr=30, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1, **_BEST),
+)
 # "{c}-sup" — fine-tuned supervised against the Newton-Raphson oracle
 # (tools/train_supervised.py: loss = sup + 0.1 * physics on NR-feasible
 # grids; the reference only ever uses NR for evaluation,
@@ -114,6 +138,13 @@ for c in (9, 14, 30, 118, 300):
         f"pretrained_c{c}_K4_L20_H10_sup.pth",
         dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
     )
+# case30's supervised fine-tune inherits the true-shunt input convention
+# of its 30-paper warm start (see above).
+_PRETRAINED["30-sup"] = (
+    "pretrained_c30_K4_L20_H10_sup.pth",
+    dict(case_nr=30, reference_parity=False, qg_gen_only=True,
+         true_shunts=True, **_BEST),
+)
 
 
 def available_cases():

@@ -75,7 +75,7 @@ def make_edge_partitioned_forward(
         mesh=mesh,
         in_specs=(P(), _batch_specs(dp, gp)),
         out_specs=jax.tree.map(lambda _: P(dp), _out_tree_proto()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -126,7 +126,7 @@ def make_edge_partitioned_train_step(
         mesh=mesh,
         in_specs=(P(), _batch_specs(dp, gp)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     def step_fn(state: TrainState, batch: GridBatch):

@@ -90,7 +90,9 @@ class GNSPredictor:
             self.batch_size - s
         )
         padded = list(cases) + [cases[-1]] * n_pad
-        batch = batch_from_cases(padded)
+        batch = batch_from_cases(
+            padded, paper_shunts=not self.cfg.true_shunts
+        )
         topo = extract_shared_topology(batch)
         dense = batch.is_dense()
         out = self._fn_for(batch, topo, dense)(self.params, batch)

@@ -42,6 +42,17 @@ def main():
     p.add_argument("--dispatch", choices=["lambda", "setpoint_slack"],
                    default="lambda",
                    help="paper-mode generator convention (utils/config.py)")
+    p.add_argument("--v-anchor", type=float, default=0.0,
+                   help="paper mode: weak (v-1)^2 tie-breaker on free buses "
+                        "toward the high-voltage power-flow branch "
+                        "(GNSConfig.v_anchor)")
+    p.add_argument("--true-shunts", action="store_true",
+                   help="paper mode: keep each case's true Gs/Bs instead of "
+                        "the reference's paper defaults, so the residual "
+                        "models the grid the NR oracle solves "
+                        "(GNSConfig.true_shunts; in-memory --cases data "
+                        "only — pickle/npz datasets bake the paper shunts "
+                        "in at generation time)")
     p.add_argument("--scale", type=float, default=1.0,
                    help="augmentation strength for --cases in-memory data "
                         "(case300 needs <=0.5 to stay NR-solvable)")
@@ -71,7 +82,13 @@ def main():
         optimizer=args.optimizer, learning_rate=args.lr, seed=args.seed,
         reference_parity=not args.paper_physics,
         qg_gen_only=args.qg_gen_only, dispatch=args.dispatch,
+        true_shunts=args.true_shunts, v_anchor=args.v_anchor,
     )
+    if args.true_shunts and not args.cases:
+        raise SystemExit(
+            "--true-shunts needs in-memory data (--cases ...): stored "
+            "pickle/npz datasets are prepared with the paper shunts"
+        )
 
     if args.cases:
         # Mixed-case training: one model, one dataset (and bucket) per
@@ -82,7 +99,10 @@ def main():
 
         per = max(1, cfg.nr_samples // len(args.cases))
         datasets = [
-            batch_from_cases(list(generate_cases(c, per, seed=cfg.seed + i, scale=args.scale))[1:])
+            batch_from_cases(
+                list(generate_cases(c, per, seed=cfg.seed + i, scale=args.scale))[1:],
+                paper_shunts=not cfg.true_shunts,
+            )
             for i, c in enumerate(args.cases)
         ]
         print(

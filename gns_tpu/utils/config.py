@@ -70,6 +70,40 @@ class GNSConfig:
     # Anchors to theta_slack = 0, the slack-relative gauge (every shipped
     # base case has slack Va = 0; the eval decode adds the case's Va).
     slack_anchor: float = 0.0
+    # Data-prep convention for the physics residual's shunt terms. The
+    # reference overwrites every bus's Gs/Bs with the paper defaults
+    # +1/-1 MVA before normalization (GNS/utils.py:23-26), so its residual
+    # models a grid with uniform 0.01 p.u. shunts at every bus while the
+    # Newton-Raphson oracle solves the case's TRUE shunts (the authentic
+    # IEEE case30 has a 19 MVAr bank at bus 10 the paper defaults erase).
+    # true_shunts=True keeps the case's own Gs/Bs columns (still /baseMVA),
+    # making the textbook residual model exactly the grid the oracle
+    # solves; with dispatch="setpoint_slack" the objective's minimum is
+    # then the NR solution itself. Measured effect (authentic case30,
+    # shipped-checkpoint budget): best with setpoint_slack (v MSE 0.060 vs
+    # 0.070 paper-shunt λ); with the λ dispatch alone it HURTS (0.44 — the
+    # distributed-slack optimum plus live load-bus reactive residual walks
+    # to a far dispatch), so the knob ships paired with setpoint_slack.
+    # Data-prep surfaces thread `paper_shunts=not cfg.true_shunts`;
+    # reference-parity mode must keep the default (False) for bit parity.
+    true_shunts: bool = False
+    # Weak high-voltage-branch tie-breaker: adds
+    #   v_anchor * gamma^(K-k) * sum_nongen((v - 1)^2) / N
+    # per step. The AC power-flow residual is solution-branch-agnostic —
+    # the equations admit multiple solutions and the physics loss scores
+    # the low-voltage branches exactly as well as the high-voltage one
+    # Newton-Raphson (flat-start) returns. On mildly perturbed grids the
+    # model stays in the high-voltage basin by initialization (v starts
+    # at 1/vg), but under the reference-strength augmentation of the
+    # authentic case30 the branches come close enough that pure-residual
+    # training drifts onto low-voltage branches as the residual improves
+    # (measured: 800-epoch setpoint_slack+true_shunts run, residual
+    # 0.0157 but v MSE vs NR 0.499 — better fit, wrong branch). A weak
+    # (v-1)^2 prior on the free (non-generator) buses breaks the tie
+    # toward the oracle's branch; it is a tie-breaker, not a target — at
+    # the NR solution its gradient is O(v_anchor * |v-1|), far below the
+    # residual curvature for weights ~0.03-0.1.
+    v_anchor: float = 0.0
 
     # --- training (reference: GNS/main.py:235-254) ---
     case_nr: int = 14

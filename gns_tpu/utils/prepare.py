@@ -277,9 +277,16 @@ def load_prepared(
     )
 
 
-def batch_from_cases(case_dicts, pad_sizes=None) -> GridBatch:
-    """Build a (possibly mixed-size, padded) batch straight from case dicts."""
-    return _stack_to_batch([prepare_case(c) for c in case_dicts], pad_sizes)
+def batch_from_cases(case_dicts, pad_sizes=None, paper_shunts=True) -> GridBatch:
+    """Build a (possibly mixed-size, padded) batch straight from case dicts.
+
+    paper_shunts=False keeps each case's true Gs/Bs shunts instead of the
+    reference's paper defaults (see prepare_case / GNSConfig.true_shunts).
+    """
+    return _stack_to_batch(
+        [prepare_case(c, paper_shunts=paper_shunts) for c in case_dicts],
+        pad_sizes,
+    )
 
 
 def base_case_batch(case_nr: int) -> GridBatch:

@@ -137,7 +137,7 @@ def test_edge_partitioned_gradients_match(data300):
     lf = shard_map(
         local_loss, mesh=mesh,
         in_specs=(P(), _batch_specs("dp", "gp")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     g_ref = jax.grad(ref_loss)(params)
     g_ep = jax.grad(lf)(params, data)

@@ -179,6 +179,33 @@ def test_slack_anchor_pins_gauge():
         )
 
 
+def test_v_anchor_breaks_branch_tie():
+    """v_anchor adds a (v-1)^2 term on free buses only (paper mode):
+    states/residuals unchanged, loss strictly larger whenever any free
+    bus is off 1.0; rejected in parity mode like the other paper knobs."""
+    from gns_tpu.models.gns import gns_forward
+
+    cfg = GNSConfig(K=2, latent_dim=8, hidden_dim=8, reference_parity=False)
+    params = init_gns_params(jax.random.key(3), cfg)
+    buses, lines, gens = prepare_case(load_case(30))
+    base = gns_forward(params, cfg, buses, lines, gens, method="scatter")
+    anch = gns_forward(
+        params, cfg.replace(v_anchor=10.0), buses, lines, gens,
+        method="scatter",
+    )
+    np.testing.assert_allclose(np.asarray(anch.v), np.asarray(base.v))
+    assert float(anch.total_loss) > float(base.total_loss)
+    np.testing.assert_allclose(
+        float(anch.last_loss), float(base.last_loss), rtol=1e-6
+    )
+    with pytest.raises(ValueError, match="paper-mode"):
+        gns_forward(
+            params,
+            cfg.replace(reference_parity=True, v_anchor=1.0),
+            buses, lines, gens, method="scatter",
+        )
+
+
 def test_batched_nr_matches_scipy_oracle():
     """eval.nr_batched: one batched dispatch solves a shared-topology set;
     agreement with the float64 sequential oracle ~1e-5 p.u. (the float32

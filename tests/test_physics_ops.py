@@ -95,7 +95,7 @@ def test_warmup_schedule_ramps():
 # ---------------------------------------------------------------------------
 
 
-def _nr_state(case_nr):
+def _nr_state(case_nr, paper_shunts=True):
     from gns_tpu.eval.newton_raphson import newton_raphson_pf
     from gns_tpu.utils.cases import load_case
     from gns_tpu.utils.prepare import prepare_case
@@ -103,7 +103,7 @@ def _nr_state(case_nr):
     case = load_case(case_nr)
     res = newton_raphson_pf(case)
     assert res.success
-    buses, lines, gens = prepare_case(case)
+    buses, lines, gens = prepare_case(case, paper_shunts=paper_shunts)
     v = jnp.asarray(res.vm, jnp.float32)
     theta = jnp.asarray(np.deg2rad(res.va_deg), jnp.float32)
     return buses, lines, gens, v, theta
@@ -136,7 +136,10 @@ def test_qg_gen_only_restores_reactive_residual():
     balance at PQ buses)."""
     from gns_tpu.utils.schema import GEN
 
-    buses, lines, gens, v_nr, th_nr = _nr_state(30)
+    # true shunts: the residual models exactly the grid NR solved (the
+    # authentic case30 has a 19 MVAr bank at bus 10 the paper defaults
+    # would erase, GNSConfig.true_shunts)
+    buses, lines, gens, v_nr, th_nr = _nr_state(30, paper_shunts=False)
     n = buses.shape[0]
     gen_bus = np.asarray(gens[:, GEN["bus_i"]], int) - 1
     is_load = np.ones(n, bool)
@@ -161,18 +164,19 @@ def test_qg_gen_only_restores_reactive_residual():
     dp, dq = local_power_imbalance(
         v_nr, th_nr, buses, lines, gens, pg, qg, reference_parity=False
     )
-    # floor: the fictitious paper shunts (Bs=-0.01 p.u. at every bus,
-    # utils.py:23-30) contribute ~|Bs| v^2 ~ 0.01 per load bus at NR
-    assert float(jnp.abs(dq).max()) < 0.02
+    # with true shunts there is no fictitious-shunt floor: reactive
+    # balance at PQ buses holds to float32 noise
+    assert float(jnp.abs(dq).max()) < 1e-4
 
 
 def test_nr_convention_objective_minimum_is_nr():
-    """qg_gen_only + dispatch='setpoint_slack': the residual at the NR
-    solution is ~the paper-shunt floor, orders of magnitude below any
-    degenerate state — the objective's minimum IS the NR solution."""
+    """qg_gen_only + dispatch='setpoint_slack' + true shunts: the
+    residual at the NR solution vanishes to float noise, orders of
+    magnitude below any degenerate state — the objective's minimum IS
+    the NR solution exactly."""
     from gns_tpu.physics.fused import physics_refresh
 
-    buses, lines, gens, v_nr, th_nr = _nr_state(30)
+    buses, lines, gens, v_nr, th_nr = _nr_state(30, paper_shunts=False)
     n = buses.shape[0]
 
     def residual(v, theta):
@@ -194,13 +198,13 @@ def test_nr_convention_objective_minimum_is_nr():
         return float(jnp.sum(dp**2 + dq**2) / n)
 
     at_nr = residual(v_nr, th_nr)
-    assert at_nr < 2e-3
+    assert at_nr < 1e-8  # float noise: measured ~3e-12 on authentic case30
     for v, th in [
         (jnp.ones(n), jnp.zeros(n)),
         (jnp.zeros(n), jnp.zeros(n)),
         (8.0 * jnp.ones(n), jnp.zeros(n)),
     ]:
-        assert residual(v, th) > 100 * at_nr
+        assert residual(v, th) > 0.01  # degenerate states: >=1e7 x the floor
 
 
 def test_paper_flows_match_pypower_at_solved_dispatch():

@@ -44,6 +44,17 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="augmentation strength; case300 needs <=0.5 to "
                          "stay NR-feasible (utils/augment.py)")
+    ap.add_argument("--v-anchor", type=float, default=0.0,
+                    help="paper mode: weak (v-1)^2 tie-breaker on free "
+                         "buses toward the high-voltage power-flow branch "
+                         "(GNSConfig.v_anchor)")
+    ap.add_argument("--true-shunts", action="store_true",
+                    help="paper mode only: keep each case's true Gs/Bs "
+                         "instead of the reference's paper defaults, so "
+                         "the residual models the grid the NR oracle "
+                         "solves (GNSConfig.true_shunts; required for "
+                         "oracle-grade accuracy on shunt-compensated "
+                         "grids like the authentic IEEE case30)")
     args = ap.parse_args()
 
     import jax
@@ -58,15 +69,19 @@ def main():
 
     for case in args.cases:
         paper = args.physics == "paper"
+        true_shunts = bool(args.true_shunts and paper)
         cfg = GNSConfig(
             case_nr=case, K=4, latent_dim=20, hidden_dim=10,
             multiple_phi=True, reference_parity=not paper,
             qg_gen_only=paper, dispatch=args.dispatch if paper else "lambda",
+            true_shunts=true_shunts,
+            v_anchor=args.v_anchor if paper else 0.0,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
         data = batch_from_cases(
-            list(generate_cases(case, args.grids, seed=0, scale=args.scale))[1:]
+            list(generate_cases(case, args.grids, seed=0, scale=args.scale))[1:],
+            paper_shunts=not true_shunts,
         )
         # Held-out grids FIRST (disjoint seed; paper mode NR-feasibility-
         # filtered so the oracle comparison is defined on every grid): if
@@ -76,7 +91,7 @@ def main():
             case, args.eval_grids, seed=12345, scale=args.scale,
             feasible_only=paper,
         ))[1:]
-        held = batch_from_cases(held_cases)
+        held = batch_from_cases(held_cases, paper_shunts=not true_shunts)
         t0 = time.perf_counter()
         best, history = train(cfg, data)
         train_s = time.perf_counter() - t0

@@ -47,6 +47,16 @@ def main():
     ap.add_argument("--grids", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--patience", type=int, default=20)
+    ap.add_argument("--true-shunts", action="store_true",
+                    help="paper-mode variants: keep each case's true Gs/Bs "
+                         "instead of the reference's paper defaults "
+                         "(GNSConfig.true_shunts)")
+    ap.add_argument("--dispatch", choices=["lambda", "setpoint_slack"],
+                    default="lambda",
+                    help="paper-mode generator convention (utils/config.py)")
+    ap.add_argument("--v-anchor", type=float, default=0.0,
+                    help="paper mode: weak (v-1)^2 high-voltage-branch "
+                         "tie-breaker (GNSConfig.v_anchor)")
     args = ap.parse_args()
 
     from gns_tpu.train.checkpoint import export_torch
@@ -79,11 +89,14 @@ def main():
         cfg = GNSConfig(
             case_nr=300, K=8, latent_dim=40, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
+            true_shunts=args.true_shunts, dispatch=args.dispatch,
+            v_anchor=args.v_anchor,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
         data = batch_from_cases(
-            list(generate_cases(300, args.grids, seed=0, scale=0.5))[1:]
+            list(generate_cases(300, args.grids, seed=0, scale=0.5))[1:],
+            paper_shunts=not cfg.true_shunts,
         )
         t0 = time.perf_counter()
         best, history = train(cfg, data)
@@ -110,13 +123,16 @@ def main():
         cfg = GNSConfig(
             case_nr=0, K=4, latent_dim=20, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
+            true_shunts=args.true_shunts, dispatch=args.dispatch,
+            v_anchor=args.v_anchor,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
         per = max(8, args.grids // len(cases))
         datasets = [
             batch_from_cases(
-                list(generate_cases(c, per, seed=i, scale=scales[c]))[1:]
+                list(generate_cases(c, per, seed=i, scale=scales[c]))[1:],
+                paper_shunts=not cfg.true_shunts,
             )
             for i, c in enumerate(cases)
         ]

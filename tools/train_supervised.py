@@ -42,6 +42,10 @@ def main():
                     help="pretrained key to initialize from (e.g. 30-paper)")
     ap.add_argument("--label-backend", choices=["scipy", "batched"],
                     default="scipy")
+    ap.add_argument("--true-shunts", action="store_true",
+                    help="keep each case's true Gs/Bs in the physics term "
+                         "instead of the reference's paper defaults "
+                         "(GNSConfig.true_shunts)")
     ap.add_argument("--export", action="store_true",
                     help="export pretrained_c{case}_..._sup.pth")
     args = ap.parse_args()
@@ -58,6 +62,7 @@ def main():
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True,
         reference_parity=False, qg_gen_only=True,
+        true_shunts=args.true_shunts,
         seed=0, epochs=args.epochs, early_stop_patience=args.patience,
         batch_size=128,
     )
@@ -65,7 +70,7 @@ def main():
     train_cases = list(generate_cases(
         args.case, args.grids, seed=0, scale=args.scale, feasible_only=True
     ))[1:]
-    data = batch_from_cases(train_cases)
+    data = batch_from_cases(train_cases, paper_shunts=not args.true_shunts)
     labels = nr_labels(train_cases, n_pad=data.buses.shape[1],
                        backend=args.label_backend)
     label_s = time.perf_counter() - t0
