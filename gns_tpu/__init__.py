@@ -21,7 +21,9 @@ physics   AC line-flow residual ops (compensation, imbalance, line flow)
 models    LearningBlock MLP, the GNS model, torch checkpoint importer
 parallel  mesh construction, data-parallel and edge-partitioned execution
 train     jitted training loop, optimizers, checkpointing, metrics
-eval      Newton-Raphson oracle and the evaluation/metrics harness
+eval      Newton-Raphson oracle (sparse float64 + batched-on-TPU float32),
+          evaluation/metrics harness, GNS-warm-started hybrid solver
+serve     batched production inference (GNSPredictor)
 """
 
 __version__ = "0.1.0"
