@@ -246,12 +246,12 @@ def gns_machinery(
         raise ValueError("edge-partitioned execution requires reference_parity=False")
     if cfg.reference_parity and (
         cfg.qg_gen_only or cfg.dispatch != "lambda" or cfg.slack_anchor
-        or cfg.v_anchor
+        or cfg.v_anchor or cfg.true_shunts
     ):
         raise ValueError(
             "qg_gen_only / dispatch='setpoint_slack' / slack_anchor / "
-            "v_anchor are paper-mode options: set reference_parity=False "
-            "(utils/config.py)"
+            "v_anchor / true_shunts are paper-mode options: set "
+            "reference_parity=False (utils/config.py)"
         )
 
     def _psum(x):

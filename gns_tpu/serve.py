@@ -39,8 +39,9 @@ class GNSPredictor:
     """Jitted batched predictor with per-shape program reuse.
 
     One compiled program per (batch_size, grid shape) pair — requests are
-    padded up to `batch_size` along the batch axis so a steady request
-    stream reuses a single program. Set `align_slack=False` to get the
+    chunked into batch_size-sized dispatches (the last chunk padded with
+    copies) so a steady request stream of ANY size reuses a single program
+    and holds at most one batch in HBM. Set `align_slack=False` to get the
     raw network gauge instead of the NR-convention decode.
     """
 
@@ -79,25 +80,33 @@ class GNSPredictor:
 
         Returns {"v": (S, N), "theta": (S, N) [decoded gauge],
         "last_loss": (S,)} for the S requested grids (padding rows used to
-        fill the batch are stripped).
+        fill the last chunk are stripped).
+
+        Requests larger than `batch_size` are split into batch_size-sized
+        chunks, each a dispatch of the SAME cached program — one compiled
+        program serves every request size, and peak HBM is bounded by one
+        batch regardless of request size. Dispatches are issued
+        asynchronously (host-side packing of chunk i+1 overlaps device
+        execution of chunk i); results are fetched once at the end.
         """
         if not cases:
             raise ValueError("empty request")
         s = len(cases)
-        # pad the request up to batch_size with copies so the compiled
-        # program shape is stable across requests
-        n_pad = (-s) % self.batch_size if s > self.batch_size else (
-            self.batch_size - s
-        )
-        padded = list(cases) + [cases[-1]] * n_pad
-        batch = batch_from_cases(
-            padded, paper_shunts=not self.cfg.true_shunts
-        )
-        topo = extract_shared_topology(batch)
-        dense = batch.is_dense()
-        out = self._fn_for(batch, topo, dense)(self.params, batch)
-        v = np.asarray(out.v)[:s]
-        theta = np.asarray(out.theta)[:s]
+        outs = []
+        for lo in range(0, s, self.batch_size):
+            chunk = cases[lo:lo + self.batch_size]
+            padded = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+            batch = batch_from_cases(
+                padded, paper_shunts=not self.cfg.true_shunts
+            )
+            topo = extract_shared_topology(batch)
+            dense = batch.is_dense()
+            outs.append(
+                (self._fn_for(batch, topo, dense)(self.params, batch),
+                 len(chunk))
+            )
+        v = np.concatenate([np.asarray(o.v)[:k] for o, k in outs])
+        theta = np.concatenate([np.asarray(o.theta)[:k] for o, k in outs])
         if self.align_slack:
             from gns_tpu.eval.harness import align_slack_angle
 
@@ -107,7 +116,9 @@ class GNSPredictor:
         return {
             "v": v,
             "theta": theta,
-            "last_loss": np.asarray(out.last_loss)[:s],
+            "last_loss": np.concatenate(
+                [np.asarray(o.last_loss)[:k] for o, k in outs]
+            ),
         }
 
 

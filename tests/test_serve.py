@@ -50,3 +50,24 @@ def test_predictor_pads_and_reuses_program(model):
     assert len(pred._compiled) == 1  # one program served both requests
     with pytest.raises(ValueError):
         pred.predict([])
+
+
+def test_predictor_chunks_large_requests(model):
+    """Requests larger than batch_size split into batch_size dispatches of
+    the single cached program (bounded HBM + program reuse), and the
+    chunked result equals the per-grid forward on every grid."""
+    pred = GNSPredictor(model, CFG, batch_size=8, method="scatter",
+                        align_slack=False)
+    for n_req in (3, 8, 20, 37):
+        cases = list(generate_cases(9, n_req - 1, seed=40 + n_req))
+        out = pred.predict(cases)
+        assert out["v"].shape == (n_req, 9)
+        assert out["last_loss"].shape == (n_req,)
+        # spot-check first/last grid against the unbatched forward
+        for i in (0, n_req - 1):
+            buses, lines, gens = prepare_case(cases[i])
+            ref = gns_forward(model, CFG, buses, lines, gens,
+                              method="scatter")
+            np.testing.assert_allclose(out["v"][i], np.asarray(ref.v),
+                                       rtol=2e-5, atol=1e-6)
+    assert len(pred._compiled) == 1  # one program across all request sizes

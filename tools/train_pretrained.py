@@ -69,6 +69,11 @@ def main():
 
     for case in args.cases:
         paper = args.physics == "paper"
+        if args.true_shunts and not paper:
+            raise SystemExit(
+                "--true-shunts requires --physics paper (parity mode must "
+                "keep the reference's shunt convention for bit parity)"
+            )
         true_shunts = bool(args.true_shunts and paper)
         cfg = GNSConfig(
             case_nr=case, K=4, latent_dim=20, hidden_dim=10,
