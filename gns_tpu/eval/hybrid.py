@@ -6,24 +6,32 @@ Raphson but accelerating it: the network's millisecond-scale prediction is
 a high-quality initial iterate, and Newton converges quadratically from a
 good start. The reference never builds this (its evaluate.py only compares
 the two side by side, GNS/evaluate.py:89-148); here it is a first-class
-pipeline that stays on the TPU end to end:
+pipeline.
 
-    GNS batched forward (serve.GNSPredictor, bf16, mask-free dense path)
-      -> slack-gauge decode (the angle gauge NR pins, harness.py)
-      -> batched full-Newton solve seeded with the prediction
-         (nr_batched.solve_batched(warm_start=...), lock-step LU on MXU)
+Round-2 measured the two-dispatch pipeline (serve.GNSPredictor ->
+host decode -> solve_batched(warm_start=...)) as a wall-time LOSS
+(0.58-0.84x): the separate forward dispatch, its host value fetch
+(~33 ms relay round-trip), the Python packing/decoding loops, and the
+warm-start host seeding all sat OUTSIDE the solve, and together they
+outweighed the 1-2 saved Newton iterations.
 
-The result is EXACT (same fixed point as a flat start — Newton's root does
-not depend on the iterate it starts from; only the iteration count does).
-Measured honestly (tools/bench_hybrid.py, one process — the only honest
-A/B on this relay, CLAUDE.md): with the shipped sup checkpoints the warm
-start saves 1-2 of 5-7 Newton iterations (c14 5→3, c30 7→6, c118 7→6,
-c300 5→5) with 256/256 convergence in both arms, but end-to-end wall time
-is 0.58-0.84x — the extra forward dispatch plus host prep outweighs the
-saved iterations, and the lock-step batched while_loop is gated by the
-worst grid in the chunk, which the prediction helps least. Ships as a
-correctness/robustness surface and for hot-start workloads (time-series
-re-solve); see ROADMAP.md #8 for the full measurement.
+Round-3 design — ONE fused XLA program per chunk:
+
+    stacked raw case arrays (float32, one host pass shared with the flat
+    arm's NR assembly: nr_batched.stack_cases)
+      -> in-device grid preparation (the prepare_case column transforms,
+         vectorized jnp — GNS/utils.py:17-41 semantics)
+      -> GNS batched forward (shared-topology dense lowering, bf16 MXU)
+      -> in-device slack-gauge decode (theta - theta_slack + Va_slack)
+      -> in-device warm seeding of the free unknowns
+      -> the batched full-Newton while_loop (nr_batched._nr_solve)
+
+The hybrid's extra cost vs the flat start is then just the f32 cast +
+transfer of the small raw stacks and the in-program forward (microseconds
+of MXU time) — everything else (host prep, dispatch, fetch barrier) is
+paid identically by both arms. The result is EXACT (same fixed point as a
+flat start — Newton's root does not depend on the iterate it starts from;
+only the iteration count does). Measured: tools/bench_hybrid.py.
 """
 
 from __future__ import annotations
@@ -32,9 +40,160 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from gns_tpu.eval.nr_batched import solve_batched
+import jax
+import jax.numpy as jnp
+
+from gns_tpu.eval.nr_batched import (
+    _nr_solve,
+    build_nr_batch_stacked,
+    solve_batched,
+    stack_cases,
+)
 from gns_tpu.serve import GNSPredictor
 from gns_tpu.utils.config import GNSConfig
+from gns_tpu.utils.prepare import GridTopology
+
+# compiled fused programs, keyed by (cfg, method, shapes, slack, max_iter,
+# topology fingerprint) — module-level so repeated hybrid_solve calls (and
+# bench warm/timed passes) reuse the program like GNSPredictor does
+_FUSED_CACHE: Dict[tuple, object] = {}
+
+
+def _prepare_stacked(bus, branch, gen, base, paper_shunts: bool):
+    """In-device grid preparation from stacked raw case arrays.
+
+    jnp twin of utils.prepare.prepare_case (reference GNS/utils.py:17-41
+    column/unit contract), vectorized over the batch: bus (S,N,Cb),
+    branch (S,E,Cc), gen (S,G,Cg), base (S,) — all float32. Lives inside
+    the fused hybrid program so the host never materializes the prepared
+    tensors.
+    """
+    inv = 1.0 / base[:, None]
+    shunt_g = jnp.ones_like(bus[:, :, 4]) if paper_shunts else bus[:, :, 4]
+    shunt_b = -jnp.ones_like(bus[:, :, 5]) if paper_shunts else bus[:, :, 5]
+    buses = jnp.stack(
+        [bus[:, :, 0], bus[:, :, 1], bus[:, :, 2] * inv, bus[:, :, 3] * inv,
+         shunt_g * inv, shunt_b * inv], axis=2,
+    )
+    tau = jnp.where(branch[:, :, 8] == 0, 1.0, branch[:, :, 8])
+    lines = jnp.stack(
+        [branch[:, :, 0], branch[:, :, 1], branch[:, :, 2], branch[:, :, 3],
+         branch[:, :, 4], tau, jnp.deg2rad(branch[:, :, 9])], axis=2,
+    )
+    ginv = inv
+    pg = gen[:, :, 1] * ginv
+    gens = jnp.stack(
+        [gen[:, :, 0], gen[:, :, 8] * ginv, gen[:, :, 9] * ginv, pg,
+         gen[:, :, 5], gen[:, :, 2] * ginv, pg], axis=2,
+    )
+    return buses, lines, gens
+
+
+def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
+              slack_idx: int, max_iter: int, shapes: tuple):
+    key = (
+        cfg, method, slack_idx, max_iter, shapes,
+        topo.src.tobytes(), topo.dst.tobytes(), topo.gen_idx.tobytes(),
+    )
+    fn = _FUSED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from gns_tpu.models.gns import gns_forward
+
+    paper_shunts = not cfg.true_shunts
+
+    def run(params, bus, branch, gen, base,
+            gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq, tol):
+        buses, lines, gens = _prepare_stacked(
+            bus, branch, gen, base, paper_shunts
+        )
+        fwd = lambda b, l, g: gns_forward(
+            params, cfg, b, l, g, method=method, topo=topo
+        )
+        out = jax.vmap(fwd)(buses, lines, gens)
+        # decode into NR's slack-pinned gauge (harness.align_slack_angle,
+        # on device): the residual is shift-invariant, the slack angle is
+        # a problem INPUT that va0 already carries
+        theta = (
+            out.theta
+            - out.theta[:, slack_idx:slack_idx + 1]
+            + va0[:, slack_idx:slack_idx + 1]
+        )
+        # seed only the free unknowns (cf. solve_batched warm_start):
+        # |v| at PQ buses, angles at PV+PQ buses
+        v = out.v.astype(vm0.dtype)
+        vm_w = vm0.at[:, pq].set(v[:, pq])
+        va_w = va0.at[:, pvpq].set(theta.astype(va0.dtype)[:, pvpq])
+        vm, va, conv, it = _nr_solve(
+            gmat, bmat, p_sched, q_sched, vm_w, va_w, pvpq, pq,
+            tol=tol, max_iter=max_iter,
+        )
+        return vm, va, conv, it, v, theta
+
+    fn = jax.jit(run)
+    _FUSED_CACHE[key] = fn
+    return fn
+
+
+def _hybrid_solve_fused(
+    params, cfg: GNSConfig, cases: List[Dict], tol: float, max_iter: int,
+    chunk_size: int, method: str = "auto",
+) -> Dict[str, np.ndarray]:
+    s = len(cases)
+    vms, vas, convs, its = [], [], [], []
+    pv, pth = [], []
+    for lo in range(0, s, chunk_size):
+        chunk = cases[lo:lo + chunk_size]
+        k = len(chunk)
+        bus, branch, gen, base = stack_cases(chunk)
+        if k < chunk_size and s > chunk_size:
+            # pad the last chunk so every dispatch reuses ONE program
+            pad = chunk_size - k
+            bus = np.concatenate([bus, np.repeat(bus[-1:], pad, 0)])
+            branch = np.concatenate([branch, np.repeat(branch[-1:], pad, 0)])
+            gen = np.concatenate([gen, np.repeat(gen[-1:], pad, 0)])
+            base = np.concatenate([base, np.repeat(base[-1:], pad, 0)])
+        nb = build_nr_batch_stacked(bus, branch, gen, base)
+        topo = GridTopology(
+            src=branch[0, :, 0].astype(np.int32) - 1,
+            dst=branch[0, :, 1].astype(np.int32) - 1,
+            gen_idx=gen[0, :, 0].astype(np.int32) - 1,
+        )
+        types = bus[0, :, 1].astype(int)
+        slack_idx = int(np.flatnonzero(types == 3)[0])
+        if branch.shape[1] < bus.shape[1]:
+            raise ValueError(
+                "fused hybrid requires E >= N (reference-parity gathers, "
+                "SURVEY.md Q2) — true for every shipped IEEE case"
+            )
+        fn = _fused_fn(
+            cfg, method, topo, slack_idx, max_iter,
+            shapes=(bus.shape, branch.shape, gen.shape),
+        )
+        vm, va, conv, it, gv, gth = fn(
+            params,
+            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
+            jnp.asarray(gen, jnp.float32), jnp.asarray(base, jnp.float32),
+            jnp.asarray(nb.gmat), jnp.asarray(nb.bmat),
+            jnp.asarray(nb.p_sched), jnp.asarray(nb.q_sched),
+            jnp.asarray(nb.vm0), jnp.asarray(nb.va0),
+            jnp.asarray(nb.pvpq), jnp.asarray(nb.pq), tol,
+        )
+        vms.append(np.asarray(vm)[:k])
+        vas.append(np.asarray(va)[:k])
+        convs.append(np.asarray(conv)[:k])
+        its.append(int(it))
+        pv.append(np.asarray(gv)[:k])
+        pth.append(np.asarray(gth)[:k])
+    return {
+        "v": np.concatenate(vms).astype(np.float32),
+        "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
+        "converged": np.concatenate(convs),
+        "iterations": max(its),
+        "iterations_per_chunk": its,
+        "gns_v": np.concatenate(pv).astype(np.float32),
+        "gns_theta_deg": np.rad2deg(np.concatenate(pth)).astype(np.float32),
+    }
 
 
 def hybrid_solve(
@@ -47,13 +206,24 @@ def hybrid_solve(
     predictor: Optional[GNSPredictor] = None,
     return_prediction: bool = False,
     fallback_flat: bool = True,
+    fused: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
     Returns the solve_batched dict ({"v", "theta_deg", "converged",
-    "iterations"}); with return_prediction=True it also carries the raw
-    network guess under "gns_v"/"gns_theta_deg" so callers can report how
-    far the prediction was from the solved fixed point.
+    "iterations", "iterations_per_chunk"}); "iterations" counts the warm
+    attempt only — when the flat-start fallback fires, its re-solve cost
+    is reported separately as "fallback_iterations" (sequential work on
+    top of the warm attempt). With return_prediction=True it also carries
+    the raw network guess under "gns_v"/"gns_theta_deg" so callers can
+    report how far the prediction was from the solved fixed point.
+
+    fused=True (default): forward + gauge decode + warm seeding + the
+    Newton while_loop run as ONE jitted program per chunk (see module
+    docstring) — the wall-time path. Passing `predictor` selects the
+    two-dispatch pipeline instead (reuses an existing GNSPredictor's
+    compiled programs; the round-2 measured-slower path, kept for
+    API compatibility and as the A/B baseline).
 
     fallback_flat: Newton is only locally convergent — a bad prediction
     can leave the basin of attraction on grids a flat start solves
@@ -63,18 +233,30 @@ def hybrid_solve(
     NR; "fallback_grids" reports how many needed it (0 in the measured
     benches with shipped checkpoints).
     """
-    if predictor is None:
-        predictor = GNSPredictor(
-            params, cfg, batch_size=max(len(cases), 1), align_slack=True
+    if fused and predictor is None:
+        out = _hybrid_solve_fused(
+            params, cfg, cases, tol, max_iter, chunk_size
         )
-    pred = predictor.predict(cases)
-    out = solve_batched(
-        cases,
-        tol=tol,
-        max_iter=max_iter,
-        chunk_size=chunk_size,
-        warm_start=(pred["v"], pred["theta"]),
-    )
+        if not return_prediction:
+            out.pop("gns_v"), out.pop("gns_theta_deg")
+    else:
+        if predictor is None:
+            predictor = GNSPredictor(
+                params, cfg, batch_size=max(len(cases), 1), align_slack=True
+            )
+        pred = predictor.predict(cases)
+        out = solve_batched(
+            cases,
+            tol=tol,
+            max_iter=max_iter,
+            chunk_size=chunk_size,
+            warm_start=(pred["v"], pred["theta"]),
+        )
+        if return_prediction:
+            out["gns_v"] = pred["v"]
+            out["gns_theta_deg"] = np.rad2deg(pred["theta"]).astype(
+                np.float32
+            )
     if fallback_flat and not out["converged"].all():
         bad = np.flatnonzero(~out["converged"])
         flat = solve_batched(
@@ -84,11 +266,12 @@ def hybrid_solve(
         out["v"][bad] = flat["v"]
         out["theta_deg"][bad] = flat["theta_deg"]
         out["converged"][bad] = flat["converged"]
-        out["iterations"] = max(out["iterations"], flat["iterations"])
+        # the fallback re-solve is SEQUENTIAL work on top of the warm
+        # attempt, not an alternative to it: report it separately so the
+        # hybrid's cost is never understated when the fallback fires
+        out["fallback_iterations"] = flat["iterations"]
         out["fallback_grids"] = bad.size
     else:
         out["fallback_grids"] = 0
-    if return_prediction:
-        out["gns_v"] = pred["v"]
-        out["gns_theta_deg"] = np.rad2deg(pred["theta"]).astype(np.float32)
+        out["fallback_iterations"] = 0
     return out

@@ -56,23 +56,18 @@ class NRBatch(NamedTuple):
     pq: np.ndarray  # (M2,) int32 PQ bus indices
 
 
-def build_nr_batch(cases: List[Dict]) -> NRBatch:
-    """Pack pypower-style case dicts into one batched problem.
+def stack_cases(cases: List[Dict]):
+    """Stack shared-topology case dicts into (bus, branch, gen, base) arrays.
 
-    All cases must share bus types, branch endpoints, and consecutive
-    1..N bus numbering (true for any augmented set of one base case).
-    Raises if they do not. The whole assembly is vectorized numpy over
-    the batch — one fused `np.add.at` builds every dense Ybus at once
-    (the per-case scipy path costs more than the device solve it feeds).
+    One pass over the Python dicts — everything downstream (NR assembly,
+    GNS grid preparation in eval/hybrid.py) is vectorized numpy over these
+    stacks, so the per-case Python cost is paid exactly once. Validates
+    the shared-topology contract (identical bus types, branch endpoints,
+    generator buses, consecutive 1..N numbering).
     """
     bus0 = np.asarray(cases[0]["bus"], np.float64)
     br0 = np.asarray(cases[0]["branch"], np.float64)
     gen0 = np.asarray(cases[0]["gen"], np.float64)
-    types = bus0[:, 1].astype(int)
-    pv = np.flatnonzero(types == 2)
-    pq = np.flatnonzero(types == 1)
-    pvpq = np.concatenate([pv, pq]).astype(np.int32)
-
     n, e, ng = bus0.shape[0], br0.shape[0], gen0.shape[0]
     if not np.array_equal(bus0[:, 0].astype(int), np.arange(1, n + 1)):
         raise ValueError("batched NR requires consecutive 1..N bus ids")
@@ -87,6 +82,8 @@ def build_nr_batch(cases: List[Dict]) -> NRBatch:
         branch[i] = np.asarray(case["branch"], np.float64)
         gen[i] = np.asarray(case["gen"], np.float64)
         base[i] = case["baseMVA"]
+
+    types = bus0[:, 1].astype(int)
     if not (bus[:, :, 1].astype(int) == types).all():
         raise ValueError("batched NR requires identical bus types")
     f = br0[:, 0].astype(np.int64) - 1
@@ -96,6 +93,32 @@ def build_nr_batch(cases: List[Dict]) -> NRBatch:
         and (branch[:, :, 1].astype(np.int64) - 1 == t).all()
     ):
         raise ValueError("batched NR requires identical branch endpoints")
+    return bus, branch, gen, base
+
+
+def build_nr_batch(cases: List[Dict]) -> NRBatch:
+    """Pack pypower-style case dicts into one batched problem.
+
+    All cases must share bus types, branch endpoints, and consecutive
+    1..N bus numbering (true for any augmented set of one base case).
+    Raises if they do not. The whole assembly is vectorized numpy over
+    the batch — one fused `np.add.at` builds every dense Ybus at once
+    (the per-case scipy path costs more than the device solve it feeds).
+    """
+    return build_nr_batch_stacked(*stack_cases(cases))
+
+
+def build_nr_batch_stacked(bus, branch, gen, base) -> NRBatch:
+    """Vectorized NR assembly from stack_cases output (no Python loop)."""
+    s, n = bus.shape[:2]
+    e, ng = branch.shape[1], gen.shape[1]
+    br0, gen0 = branch[0], gen[0]
+    types = bus[0, :, 1].astype(int)
+    pv = np.flatnonzero(types == 2)
+    pq = np.flatnonzero(types == 1)
+    pvpq = np.concatenate([pv, pq]).astype(np.int32)
+    f = br0[:, 0].astype(np.int64) - 1
+    t = br0[:, 1].astype(np.int64) - 1
 
     # --- vectorized Ybus (MATPOWER conventions, cf. newton_raphson.make_ybus)
     status = branch[:, :, 10] if br0.shape[1] > 10 else np.ones((s, e))
@@ -291,4 +314,7 @@ def solve_batched(
         "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
         "converged": np.concatenate(convs),
         "iterations": max(its),
+        # per-chunk counts so callers (bench_hybrid, hybrid_solve) can
+        # audit where the lock-step while_loop spent its iterations
+        "iterations_per_chunk": its,
     }

@@ -90,3 +90,50 @@ def test_hybrid_solve_end_to_end():
     assert out["iterations"] <= flat["iterations"]
     np.testing.assert_allclose(out["v"], flat["v"], atol=5e-4)
     assert out["gns_v"].shape == out["v"].shape
+
+
+def test_fused_hybrid_matches_two_dispatch_pipeline():
+    """The fused single-program hybrid (in-device grid prep + forward +
+    gauge decode + seeding + Newton) must produce the same prediction and
+    the same solved fixed point as the round-2 two-dispatch pipeline
+    (GNSPredictor -> host decode -> solve_batched warm_start)."""
+    from gns_tpu.eval.hybrid import hybrid_solve
+    from gns_tpu.models.pretrained import available_cases, load_pretrained
+
+    if "14-sup" not in available_cases():
+        pytest.skip("14-sup checkpoint not shipped")
+    params, cfg = load_pretrained("14-sup")
+    cases = _feasible_cases(14, 6)
+    fused = hybrid_solve(params, cfg, cases, return_prediction=True)
+    legacy = hybrid_solve(
+        params, cfg, cases, return_prediction=True, fused=False
+    )
+    assert fused["converged"].all() and legacy["converged"].all()
+    # identical network inputs -> identical prediction (the in-device
+    # prepare must reproduce utils.prepare.prepare_case bit-for-bit up to
+    # f32 rounding)
+    np.testing.assert_allclose(
+        fused["gns_v"], legacy["gns_v"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        fused["gns_theta_deg"], legacy["gns_theta_deg"], atol=1e-4
+    )
+    np.testing.assert_allclose(fused["v"], legacy["v"], atol=2e-5)
+    assert fused["iterations"] == legacy["iterations"]
+
+
+def test_fused_hybrid_chunking_pads_last_chunk():
+    """A case count that does not divide chunk_size must still solve every
+    grid (the padded last chunk reuses the same compiled program)."""
+    from gns_tpu.eval.hybrid import hybrid_solve
+    from gns_tpu.models.pretrained import available_cases, load_pretrained
+
+    if "14-sup" not in available_cases():
+        pytest.skip("14-sup checkpoint not shipped")
+    params, cfg = load_pretrained("14-sup")
+    cases = _feasible_cases(14, 7)
+    out = hybrid_solve(params, cfg, cases, chunk_size=3)
+    flat = solve_batched(cases, tol=3e-5)
+    assert out["v"].shape == (7, 14)
+    assert len(out["iterations_per_chunk"]) == 3
+    np.testing.assert_allclose(out["v"], flat["v"], atol=5e-4)

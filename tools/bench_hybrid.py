@@ -6,14 +6,27 @@ relay — CLAUDE.md), for a set of NR-feasible augmented grids per case:
   * iterations-to-tolerance of the lock-step batched Newton solve, flat
     start vs warm start (the robust, load-independent metric: the
     while_loop runs until the WHOLE batch converges), and
-  * end-to-end wall time: warm arm = GNS forward + decode + warm solve;
-    flat arm = solve alone. Both arms end in host value fetches (the only
-    trustworthy barrier here), min over --repeats.
+  * end-to-end wall time: warm arm = the FUSED hybrid (one XLA program:
+    in-device grid prep + GNS forward + gauge decode + warm seeding +
+    Newton while_loop — eval/hybrid.py); flat arm = solve alone. Both
+    arms end in host value fetches (the only trustworthy barrier here),
+    min over --repeats. --legacy additionally times the round-2
+    two-dispatch pipeline (GNSPredictor -> host decode -> warm solve)
+    for comparison.
 
 The solved fixed point is identical in both arms (asserted); the hybrid is
 a pure speed play. Prints one JSON line per case.
 
+--scenario hot adds the time-series re-solve scenario the hybrid module
+promises: after solving a base set, every grid's load ramps a few percent
+(the operational pattern: re-solve a slightly changed system every few
+minutes). Three arms on the ramped set: flat start, warm start from the
+PREVIOUS solution (the classical tracking solver), and the fused GNS
+hybrid (no previous solution needed — e.g. first solve of a new scenario
+batch in contingency screening).
+
 Usage: python tools/bench_hybrid.py [--cases 14 30 118] [--grids 256]
+       [--scenario base|hot|both] [--legacy]
 """
 
 from __future__ import annotations
@@ -28,6 +41,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _ramp_loads(cases, frac=0.03, seed=7):
+    """Per-grid uniform load ramp in [1-frac, 1+frac] (Pd, Qd scaled)."""
+    import copy
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for c in cases:
+        c2 = copy.deepcopy(c)
+        r = 1.0 + frac * (2.0 * rng.random() - 1.0)
+        c2["bus"][:, 2] *= r
+        c2["bus"][:, 3] *= r
+        out.append(c2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", type=int, nargs="+", default=[14, 30, 118])
@@ -36,6 +66,10 @@ def main():
     ap.add_argument("--tol", type=float, default=3e-5)
     ap.add_argument("--checkpoint", default="sup",
                     help="pretrained variant suffix: sup | paper | parity")
+    ap.add_argument("--scenario", default="base",
+                    choices=["base", "hot", "both"])
+    ap.add_argument("--legacy", action="store_true",
+                    help="also time the round-2 two-dispatch pipeline")
     args = ap.parse_args()
 
     import numpy as np
@@ -55,44 +89,90 @@ def main():
             case, args.grids, seed=31415, scale=scale, feasible_only=True
         ))[1:]
 
-        predictor = GNSPredictor(
-            params, cfg, batch_size=len(cases), align_slack=True
-        )
-
-        # Warm both program caches (compile + one run each).
-        flat = solve_batched(cases, tol=args.tol)
-        hybrid = hybrid_solve(
-            params, cfg, cases, tol=args.tol, predictor=predictor
-        )
-        np.testing.assert_allclose(  # same fixed point
-            flat["v"][flat["converged"] & hybrid["converged"]],
-            hybrid["v"][flat["converged"] & hybrid["converged"]],
-            atol=5e-4,
-        )
-
-        t_flat = t_hybrid = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
+        if args.scenario in ("base", "both"):
+            # Warm both program caches (compile + one run each).
             flat = solve_batched(cases, tol=args.tol)
-            t_flat = min(t_flat, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            hybrid = hybrid_solve(
-                params, cfg, cases, tol=args.tol, predictor=predictor
+            hybrid = hybrid_solve(params, cfg, cases, tol=args.tol)
+            both = flat["converged"] & hybrid["converged"]
+            np.testing.assert_allclose(  # same fixed point
+                flat["v"][both], hybrid["v"][both], atol=5e-4
             )
-            t_hybrid = min(t_hybrid, time.perf_counter() - t0)
 
-        print(json.dumps({
-            "case": case,
-            "grids": len(cases),
-            "tol": args.tol,
-            "iters_flat": int(flat["iterations"]),
-            "iters_hybrid": int(hybrid["iterations"]),
-            "converged_flat": int(flat["converged"].sum()),
-            "converged_hybrid": int(hybrid["converged"].sum()),
-            "wall_ms_flat": round(t_flat * 1e3, 2),
-            "wall_ms_hybrid": round(t_hybrid * 1e3, 2),
-            "speedup": round(t_flat / t_hybrid, 3),
-        }), flush=True)
+            t_flat = t_hybrid = t_legacy = float("inf")
+            predictor = None
+            if args.legacy:
+                predictor = GNSPredictor(
+                    params, cfg, batch_size=len(cases), align_slack=True
+                )
+                hybrid_solve(params, cfg, cases, tol=args.tol,
+                             predictor=predictor)
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                flat = solve_batched(cases, tol=args.tol)
+                t_flat = min(t_flat, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                hybrid = hybrid_solve(params, cfg, cases, tol=args.tol)
+                t_hybrid = min(t_hybrid, time.perf_counter() - t0)
+                if args.legacy:
+                    t0 = time.perf_counter()
+                    hybrid_solve(params, cfg, cases, tol=args.tol,
+                                 predictor=predictor)
+                    t_legacy = min(t_legacy, time.perf_counter() - t0)
+
+            rec = {
+                "scenario": "base",
+                "case": case,
+                "grids": len(cases),
+                "tol": args.tol,
+                "iters_flat": int(flat["iterations"]),
+                "iters_hybrid": int(hybrid["iterations"]),
+                "converged_flat": int(flat["converged"].sum()),
+                "converged_hybrid": int(hybrid["converged"].sum()),
+                "fallback_grids": int(hybrid["fallback_grids"]),
+                "wall_ms_flat": round(t_flat * 1e3, 2),
+                "wall_ms_hybrid": round(t_hybrid * 1e3, 2),
+                "speedup": round(t_flat / t_hybrid, 3),
+            }
+            if args.legacy:
+                rec["wall_ms_legacy"] = round(t_legacy * 1e3, 2)
+                rec["speedup_legacy"] = round(t_flat / t_legacy, 3)
+            print(json.dumps(rec), flush=True)
+
+        if args.scenario in ("hot", "both"):
+            base_sol = solve_batched(cases, tol=args.tol)
+            ramped = _ramp_loads(cases)
+            prev = (base_sol["v"], np.deg2rad(base_sol["theta_deg"]))
+            # warm caches
+            flat = solve_batched(ramped, tol=args.tol)
+            track = solve_batched(ramped, tol=args.tol, warm_start=prev)
+            hyb = hybrid_solve(params, cfg, ramped, tol=args.tol)
+            t_flat = t_track = t_hyb = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                flat = solve_batched(ramped, tol=args.tol)
+                t_flat = min(t_flat, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                track = solve_batched(ramped, tol=args.tol, warm_start=prev)
+                t_track = min(t_track, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                hyb = hybrid_solve(params, cfg, ramped, tol=args.tol)
+                t_hyb = min(t_hyb, time.perf_counter() - t0)
+            print(json.dumps({
+                "scenario": "hot",
+                "case": case,
+                "grids": len(ramped),
+                "iters_flat": int(flat["iterations"]),
+                "iters_track": int(track["iterations"]),
+                "iters_hybrid": int(hyb["iterations"]),
+                "converged_flat": int(flat["converged"].sum()),
+                "converged_track": int(track["converged"].sum()),
+                "converged_hybrid": int(hyb["converged"].sum()),
+                "wall_ms_flat": round(t_flat * 1e3, 2),
+                "wall_ms_track": round(t_track * 1e3, 2),
+                "wall_ms_hybrid": round(t_hyb * 1e3, 2),
+                "speedup_track": round(t_flat / t_track, 3),
+                "speedup_hybrid": round(t_flat / t_hyb, 3),
+            }), flush=True)
 
 
 if __name__ == "__main__":
