@@ -24,14 +24,19 @@ Round-3 design — ONE fused XLA program per chunk:
       -> GNS batched forward (shared-topology dense lowering, bf16 MXU)
       -> in-device slack-gauge decode (theta - theta_slack + Va_slack)
       -> in-device warm seeding of the free unknowns
+      -> in-device dense admittance assembly (nr_batched._assemble_gb —
+         the (S, N, N) G/B pair never crosses the ~17 MB/s relay host
+         boundary; 184 MB saved per case300 chunk)
       -> the batched full-Newton while_loop (nr_batched._nr_solve)
+      -> ONE packed output array -> ONE host fetch (each fetch is a full
+         relay round trip; the prediction is only returned when asked)
 
-The hybrid's extra cost vs the flat start is then just the f32 cast +
-transfer of the small raw stacks and the in-program forward (microseconds
-of MXU time) — everything else (host prep, dispatch, fetch barrier) is
-paid identically by both arms. The result is EXACT (same fixed point as a
-flat start — Newton's root does not depend on the iterate it starts from;
-only the iteration count does). Measured: tools/bench_hybrid.py.
+The hybrid's extra cost vs the flat start is then just the in-program
+forward (milliseconds of MXU time; the raw stacks transfer identically in
+both arms) — host prep, transfers, dispatch and the fetch barrier are
+paid identically. The result is EXACT (same fixed point as a flat start —
+Newton's root does not depend on the iterate it starts from; only the
+iteration count does). Measured: tools/bench_hybrid.py.
 """
 
 from __future__ import annotations
@@ -44,8 +49,11 @@ import jax
 import jax.numpy as jnp
 
 from gns_tpu.eval.nr_batched import (
+    _assemble_gb,
+    _nr_core,
     _nr_solve,
-    build_nr_batch_stacked,
+    _pack_solution,
+    build_nr_small_stacked,
     solve_batched,
     stack_cases,
 )
@@ -90,9 +98,10 @@ def _prepare_stacked(bus, branch, gen, base, paper_shunts: bool):
 
 
 def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
-              slack_idx: int, max_iter: int, shapes: tuple):
+              slack_idx: int, shapes: tuple,
+              has_status: bool, return_pred: bool):
     key = (
-        cfg, method, slack_idx, max_iter, shapes,
+        cfg, method, slack_idx, shapes, has_status, return_pred,
         topo.src.tobytes(), topo.dst.tobytes(), topo.gen_idx.tobytes(),
     )
     fn = _FUSED_CACHE.get(key)
@@ -101,9 +110,11 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
     from gns_tpu.models.gns import gns_forward
 
     paper_shunts = not cfg.true_shunts
+    fj = jnp.asarray(topo.src)
+    tj = jnp.asarray(topo.dst)
 
     def run(params, bus, branch, gen, base,
-            gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq, tol):
+            p_sched, q_sched, vm0, va0, pvpq, pq, tol, max_iter):
         buses, lines, gens = _prepare_stacked(
             bus, branch, gen, base, paper_shunts
         )
@@ -124,11 +135,18 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
         v = out.v.astype(vm0.dtype)
         vm_w = vm0.at[:, pq].set(v[:, pq])
         va_w = va0.at[:, pvpq].set(theta.astype(va0.dtype)[:, pvpq])
-        vm, va, conv, it = _nr_solve(
+        # the dense admittance pair is assembled HERE, on device, from the
+        # same raw stacks the forward consumed (nr_batched._assemble_gb) —
+        # it never crosses the ~17 MB/s host boundary
+        gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
+        vm, va, conv, it, itg = _nr_solve(
             gmat, bmat, p_sched, q_sched, vm_w, va_w, pvpq, pq,
             tol=tol, max_iter=max_iter,
         )
-        return vm, va, conv, it, v, theta
+        packed = _pack_solution(vm, va, conv, it, itg)
+        if return_pred:
+            return packed, v, theta
+        return packed
 
     fn = jax.jit(run)
     _FUSED_CACHE[key] = fn
@@ -137,11 +155,13 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
 
 def _hybrid_solve_fused(
     params, cfg: GNSConfig, cases: List[Dict], tol: float, max_iter: int,
-    chunk_size: int, method: str = "auto",
+    chunk_size: int, method: str = "auto", return_pred: bool = False,
+    compact_after: int = 0,
 ) -> Dict[str, np.ndarray]:
     s = len(cases)
-    vms, vas, convs, its = [], [], [], []
-    pv, pth = [], []
+    # dispatch all chunks asynchronously first, fetch afterwards (cf.
+    # solve_batched: each fetch is a blocking relay round trip)
+    pending = []
     for lo in range(0, s, chunk_size):
         chunk = cases[lo:lo + chunk_size]
         k = len(chunk)
@@ -153,7 +173,7 @@ def _hybrid_solve_fused(
             branch = np.concatenate([branch, np.repeat(branch[-1:], pad, 0)])
             gen = np.concatenate([gen, np.repeat(gen[-1:], pad, 0)])
             base = np.concatenate([base, np.repeat(base[-1:], pad, 0)])
-        nb = build_nr_batch_stacked(bus, branch, gen, base)
+        ns = build_nr_small_stacked(bus, branch, gen, base)
         topo = GridTopology(
             src=branch[0, :, 0].astype(np.int32) - 1,
             dst=branch[0, :, 1].astype(np.int32) - 1,
@@ -166,34 +186,80 @@ def _hybrid_solve_fused(
                 "fused hybrid requires E >= N (reference-parity gathers, "
                 "SURVEY.md Q2) — true for every shipped IEEE case"
             )
+        n = bus.shape[1]
+        has_status = branch.shape[2] > 10
         fn = _fused_fn(
-            cfg, method, topo, slack_idx, max_iter,
+            cfg, method, topo, slack_idx,
             shapes=(bus.shape, branch.shape, gen.shape),
+            has_status=has_status, return_pred=return_pred,
         )
-        vm, va, conv, it, gv, gth = fn(
+        k1 = compact_after if 0 < compact_after < max_iter else max_iter
+        out = fn(
             params,
             jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
             jnp.asarray(gen, jnp.float32), jnp.asarray(base, jnp.float32),
-            jnp.asarray(nb.gmat), jnp.asarray(nb.bmat),
-            jnp.asarray(nb.p_sched), jnp.asarray(nb.q_sched),
-            jnp.asarray(nb.vm0), jnp.asarray(nb.va0),
-            jnp.asarray(nb.pvpq), jnp.asarray(nb.pq), tol,
+            jnp.asarray(ns.p_sched), jnp.asarray(ns.q_sched),
+            jnp.asarray(ns.vm0), jnp.asarray(ns.va0),
+            jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+            jnp.asarray(k1, jnp.int32),
         )
-        vms.append(np.asarray(vm)[:k])
-        vas.append(np.asarray(va)[:k])
-        convs.append(np.asarray(conv)[:k])
-        its.append(int(it))
-        pv.append(np.asarray(gv)[:k])
-        pth.append(np.asarray(gth)[:k])
-    return {
+        pending.append(
+            (out, k, bus, branch, base, ns, topo, has_status, k1)
+        )
+
+    vms, vas, convs, its, itgs = [], [], [], [], []
+    pv, pth = [], []
+    for out, k, bus, branch, base, ns, topo, has_status, k1 in pending:
+        n = bus.shape[1]
+        packed = np.array(out[0] if return_pred else out)
+        it_chunk = int(packed[0, 2 * n + 1])
+        bad = np.flatnonzero(packed[:, 2 * n] < 0.5)
+        if k1 < max_iter and bad.size:
+            # stragglers continue in a compact power-of-2 sub-batch (no
+            # forward needed — cf. solve_batched's compact_after)
+            sub = max(8, 1 << int(np.ceil(np.log2(bad.size))))
+            sel = np.concatenate([bad, np.repeat(bad[:1], sub - bad.size)])
+            core2 = _nr_core(
+                topo.src, topo.dst,
+                ((sub,) + bus.shape[1:], (sub,) + branch.shape[1:]),
+                has_status,
+            )
+            p2 = np.asarray(core2(
+                jnp.asarray(bus[sel], jnp.float32),
+                jnp.asarray(branch[sel], jnp.float32),
+                jnp.asarray(base[sel], jnp.float32),
+                jnp.asarray(ns.p_sched[sel]), jnp.asarray(ns.q_sched[sel]),
+                jnp.asarray(packed[sel, :n], jnp.float32),
+                jnp.asarray(packed[sel, n:2 * n], jnp.float32),
+                jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+                jnp.asarray(max_iter - k1, jnp.int32),
+            ))[:bad.size]
+            packed[bad, :2 * n] = p2[:, :2 * n]
+            packed[bad, 2 * n] = p2[:, 2 * n]
+            packed[bad, 2 * n + 2] = k1 + p2[:, 2 * n + 2]
+            it_chunk += int(p2[0, 2 * n + 1])
+        vms.append(packed[:k, :n])
+        vas.append(packed[:k, n:2 * n])
+        convs.append(packed[:k, 2 * n] > 0.5)
+        its.append(it_chunk)
+        itgs.append(packed[:k, 2 * n + 2].astype(np.int32))
+        if return_pred:
+            pv.append(np.asarray(out[1])[:k])
+            pth.append(np.asarray(out[2])[:k])
+    res = {
         "v": np.concatenate(vms).astype(np.float32),
         "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
         "converged": np.concatenate(convs),
         "iterations": max(its),
         "iterations_per_chunk": its,
-        "gns_v": np.concatenate(pv).astype(np.float32),
-        "gns_theta_deg": np.rad2deg(np.concatenate(pth)).astype(np.float32),
+        "iterations_per_grid": np.concatenate(itgs),
     }
+    if return_pred:
+        res["gns_v"] = np.concatenate(pv).astype(np.float32)
+        res["gns_theta_deg"] = np.rad2deg(
+            np.concatenate(pth)
+        ).astype(np.float32)
+    return res
 
 
 def hybrid_solve(
@@ -207,6 +273,7 @@ def hybrid_solve(
     return_prediction: bool = False,
     fallback_flat: bool = True,
     fused: bool = True,
+    compact_after: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -225,6 +292,11 @@ def hybrid_solve(
     compiled programs; the round-2 measured-slower path, kept for
     API compatibility and as the A/B baseline).
 
+    compact_after: per-grid convergence exit, forwarded to the Newton
+    stage (see nr_batched.solve_batched) — after that many lock-step
+    iterations the converged majority stops paying Jacobian builds and
+    the stragglers continue in a compact power-of-2 sub-batch.
+
     fallback_flat: Newton is only locally convergent — a bad prediction
     can leave the basin of attraction on grids a flat start solves
     (observed on strongly perturbed case30 grids with noise-level-0.1
@@ -235,10 +307,9 @@ def hybrid_solve(
     """
     if fused and predictor is None:
         out = _hybrid_solve_fused(
-            params, cfg, cases, tol, max_iter, chunk_size
+            params, cfg, cases, tol, max_iter, chunk_size,
+            return_pred=return_prediction, compact_after=compact_after,
         )
-        if not return_prediction:
-            out.pop("gns_v"), out.pop("gns_theta_deg")
     else:
         if predictor is None:
             predictor = GNSPredictor(

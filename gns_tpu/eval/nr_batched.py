@@ -9,6 +9,13 @@ single batched program: dense per-grid G/B admittance matrices, the batched
 polar Jacobian in its real H/N/J/L block form, and a batched LU solve —
 thousands of Newton solves per dispatch instead of one.
 
+The dense admittance matrices are assembled ON DEVICE from the raw
+float32 case stacks (`_assemble_gb`, static endpoint indices): on the
+remote relay (~17 MB/s host<->device, ~33 ms per round trip) the case300
+(S=256, N=300) G/B pair is 184 MB of transfer and ~3.3 s of host
+complex128 assembly, while the raw stacks are ~10 MB. All solve outputs
+come back as ONE packed array -> one fetch round trip.
+
 Everything is REAL float32 by design: the axon TPU relay implements neither
 complex arithmetic nor jnp.linalg.solve's lowering, but the underlying
 lax.linalg.lu / triangular_solve primitives are native (QR too, measured
@@ -34,7 +41,6 @@ Shapes are static per (case, chunk-size): jit compiles once per bucket.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, NamedTuple
 
 import numpy as np
@@ -170,12 +176,163 @@ def build_nr_batch_stacked(bus, branch, gen, base) -> NRBatch:
     )
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+class NRSmall(NamedTuple):
+    """The cheap-to-transfer NR inputs: everything EXCEPT the dense G/B
+    admittance matrices, which are assembled on device (`_assemble_gb`)
+    from the raw branch/bus stacks. Measured rationale: on the remote
+    relay (~17 MB/s host<->device), the (S, N, N) float32 G/B pair for
+    case300 at S=256 is 184 MB (~10 s of transfer) and its host-side
+    complex128 assembly costs another ~3.3 s — while the raw stacks it is
+    computed from are ~10 MB. The admittance matrix never touches the
+    host."""
+
+    p_sched: np.ndarray  # (S, N) float32
+    q_sched: np.ndarray  # (S, N)
+    vm0: np.ndarray  # (S, N)
+    va0: np.ndarray  # (S, N)
+    pvpq: np.ndarray  # (M1,) int32
+    pq: np.ndarray  # (M2,) int32
+
+
+def build_nr_small_stacked(bus, branch, gen, base) -> NRSmall:
+    """Scheduled injections, initial voltage, bus-type index sets — the
+    host-side part of the batched problem (vectorized, no Ybus)."""
+    s, n = bus.shape[:2]
+    ng = gen.shape[1]
+    gen0 = gen[0]
+    types = bus[0, :, 1].astype(int)
+    pv = np.flatnonzero(types == 2)
+    pq = np.flatnonzero(types == 1)
+    pvpq = np.concatenate([pv, pq]).astype(np.int32)
+
+    gbus = gen0[:, 0].astype(np.int64) - 1
+    if not (gen[:, :, 0].astype(np.int64) - 1 == gbus).all():
+        raise ValueError("batched NR requires identical generator buses")
+    gstat = gen[:, :, 7] if gen0.shape[1] > 7 else np.ones((s, ng))
+    pg = np.zeros((s, n))
+    qg = np.zeros((s, n))
+    np.add.at(pg, (slice(None), gbus), gen[:, :, 1] * gstat)
+    np.add.at(qg, (slice(None), gbus), gen[:, :, 2] * gstat)
+    p_sched = (pg - bus[:, :, 2]) / base[:, None]
+    q_sched = (qg - bus[:, :, 3]) / base[:, None]
+
+    vm0 = bus[:, :, 7].copy()
+    rows = np.repeat(np.arange(s), ng)
+    cols = np.tile(gbus, s)
+    on = (gstat > 0).ravel()
+    vm0[rows[on], cols[on]] = (gen[:, :, 5]).ravel()[on]
+    va0 = np.deg2rad(bus[:, :, 8])
+    return NRSmall(
+        p_sched.astype(np.float32), q_sched.astype(np.float32),
+        vm0.astype(np.float32), va0.astype(np.float32),
+        pvpq, pq.astype(np.int32),
+    )
+
+
+def _assemble_gb(bus, branch, base, f, t, has_status: bool):
+    """Device-side dense G/B admittance assembly (inside jit).
+
+    Real-arithmetic twin of the host complex path in
+    `build_nr_batch_stacked` (MATPOWER conventions): branch series
+    admittance ys = status/(r+jx), charging b, complex tap tau*e^{j
+    shift}, plus bus shunts — scatter-added into (S, N, N) via the STATIC
+    endpoint index arrays `f`/`t` (the shared topology; augmentation
+    never changes endpoints, GNS/augment_grids.py:28-54). bus/branch are
+    the raw float32 case stacks; nothing dense ever crosses the host
+    boundary.
+    """
+    s, n = bus.shape[:2]
+    r, x, bc0 = branch[:, :, 2], branch[:, :, 3], branch[:, :, 4]
+    status = branch[:, :, 10] if has_status else jnp.ones_like(r)
+    denom = r * r + x * x
+    ys_re = status * r / denom
+    ys_im = -status * x / denom
+    bc = status * bc0
+    tau = jnp.where(branch[:, :, 8] == 0, 1.0, branch[:, :, 8])
+    shift = jnp.deg2rad(branch[:, :, 9])
+    ct, st = jnp.cos(shift), jnp.sin(shift)
+    tau2 = tau * tau
+
+    ytt_re, ytt_im = ys_re, ys_im + bc / 2.0
+    yff_re, yff_im = ytt_re / tau2, ytt_im / tau2
+    # yft = -ys / conj(tap) = -ys * e^{j shift} / tau
+    yft_re = -(ys_re * ct - ys_im * st) / tau
+    yft_im = -(ys_re * st + ys_im * ct) / tau
+    # ytf = -ys / tap = -ys * e^{-j shift} / tau
+    ytf_re = -(ys_re * ct + ys_im * st) / tau
+    ytf_im = -(ys_im * ct - ys_re * st) / tau
+
+    ysh_re = bus[:, :, 4] / base[:, None]
+    ysh_im = bus[:, :, 5] / base[:, None]
+
+    idx = jnp.arange(n)
+
+    def scatter(ff, ft, tf, tt, sh):
+        m = jnp.zeros((s, n, n), jnp.float32)
+        m = m.at[:, f, t].add(ft)
+        m = m.at[:, t, f].add(tf)
+        m = m.at[:, f, f].add(ff)
+        m = m.at[:, t, t].add(tt)
+        return m.at[:, idx, idx].add(sh)
+
+    gmat = scatter(yff_re, yft_re, ytf_re, ytt_re, ysh_re)
+    bmat = scatter(yff_im, yft_im, ytf_im, ytt_im, ysh_im)
+    return gmat, bmat
+
+
+# jitted end-to-end cores, keyed by (endpoint topology, shapes, max_iter)
+# — module-level so every solve_batched / bench call reuses the program
+_CORE_CACHE: Dict[tuple, object] = {}
+
+
+def _pack_solution(vm, va, conv, it, itg):
+    """[vm | va | conv | iters | iters_per_grid] -> (S, 2N+3) float32.
+    ONE packed output -> ONE host fetch (each fetch is a full relay round
+    trip)."""
+    return jnp.concatenate(
+        [vm, va, conv[:, None].astype(jnp.float32),
+         jnp.broadcast_to(it.astype(jnp.float32), (vm.shape[0], 1)),
+         itg[:, None].astype(jnp.float32)],
+        axis=1,
+    )
+
+
+def _nr_core(f: np.ndarray, t: np.ndarray, shapes: tuple, has_status: bool):
+    key = (f.tobytes(), t.tobytes(), shapes, has_status)
+    fn = _CORE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    fj = jnp.asarray(f)
+    tj = jnp.asarray(t)
+
+    def run(bus, branch, base, p_sched, q_sched, vm0, va0, pvpq, pq, tol,
+            max_iter):
+        gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
+        vm, va, conv, it, itg = _nr_solve(
+            gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
+            tol=tol, max_iter=max_iter,
+        )
+        return _pack_solution(vm, va, conv, it, itg)
+
+    fn = jax.jit(run)
+    _CORE_CACHE[key] = fn
+    return fn
+
+
+@jax.jit
 def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
               tol: float = 3e-5, max_iter: int = 20):
     """Batched full-Newton polar power flow, real arithmetic + LU solve.
 
-    Returns (vm, va, conv, iters)."""
+    max_iter is a TRACED bound (the while_loop condition is dynamic
+    anyway), so one compiled program serves every iteration budget — the
+    compaction path re-enters with a remaining-budget bound without
+    recompiling.
+
+    Returns (vm, va, conv, iters, iters_per_grid) — iters_per_grid is the
+    iteration at which each grid first met tol (== iters for stragglers),
+    the per-grid diagnostic behind bench_hybrid's distribution rows and
+    the compaction heuristic."""
     n = vm0.shape[1]
     n_pvpq = pvpq.shape[0]
     eye = jnp.eye(n, dtype=vm0.dtype)
@@ -198,11 +355,11 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
         )
 
     def cond(state):
-        vm, va, conv, it = state
+        vm, va, conv, it, itg = state
         return jnp.logical_and(it < max_iter, ~jnp.all(conv))
 
     def body(state):
-        vm, va, conv, it = state
+        vm, va, conv, it, itg = state
         a1, a2, p, q = trig_terms(vm, va)
         f = f_of(p, q)
 
@@ -248,16 +405,21 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
         vm = vm.at[:, pq].add(-upd[:, n_pvpq:])
 
         _, _, p, q = trig_terms(vm, va)
-        conv = jnp.logical_or(
-            conv, jnp.max(jnp.abs(f_of(p, q)), axis=1) < tol
-        )
-        return vm, va, conv, it + 1
+        now = jnp.max(jnp.abs(f_of(p, q)), axis=1) < tol
+        itg = jnp.where(now & ~conv, it + 1, itg)
+        conv = jnp.logical_or(conv, now)
+        return vm, va, conv, it + 1, itg
 
     _, _, p0, q0 = trig_terms(vm0, va0)
     conv0 = jnp.max(jnp.abs(f_of(p0, q0)), axis=1) < tol
     it0 = jnp.asarray(0, jnp.int32)
-    vm, va, conv, it = jax.lax.while_loop(cond, body, (vm0, va0, conv0, it0))
-    return vm, va, conv, it
+    itg0 = jnp.zeros(vm0.shape[0], jnp.int32)
+    vm, va, conv, it, itg = jax.lax.while_loop(
+        cond, body, (vm0, va0, conv0, it0, itg0)
+    )
+    # stragglers that never met tol carry the full iteration count
+    itg = jnp.where(conv, itg, it)
+    return vm, va, conv, it, itg
 
 
 def solve_batched(
@@ -266,6 +428,7 @@ def solve_batched(
     max_iter: int = 20,
     chunk_size: int = 256,
     warm_start=None,
+    compact_after: int = 0,
 ) -> Dict:
     """Solve every case; returns {"v", "theta_deg", "converged", "iterations"}.
 
@@ -273,6 +436,16 @@ def solve_batched(
     (case300 at 256 grids is ~184 MB). Non-converged grids keep their last
     iterate, flagged False — callers filter exactly as with the scipy oracle
     (harness.compute_metrics drops them).
+
+    compact_after: per-grid convergence exit. 0 (default) = pure
+    lock-step. k > 0 = after k full-batch iterations, grids that already
+    met tol stop paying Jacobian builds: the unconverged stragglers are
+    repacked into a power-of-2 sub-batch that continues from its current
+    iterates with the remaining budget. Costs one extra fetch + dispatch
+    round trip per chunk — profitable when a full-batch iteration costs
+    more than that (case118/case300 scales; see tools/bench_hybrid.py
+    --compact). "iterations" then reports k1 + the sub-batch's count (an
+    upper bound on any grid's sequential depth).
 
     warm_start: optional (v (S, N), theta_rad (S, N)) initial guess — e.g.
     a GNS prediction (eval/hybrid.py). Only the free unknowns are seeded:
@@ -288,27 +461,75 @@ def solve_batched(
     the mismatch from ~1e-3 straight to the floor) — v agreement with the
     float64 oracle stays ~1e-6 p.u. (tested).
     """
-    vms, vas, convs, its = [], [], [], []
+    # Two-phase over chunks: dispatch everything asynchronously first,
+    # fetch afterwards — chunk i+1's host packing and device solve overlap
+    # chunk i's (each fetch is a blocking relay round trip).
+    pending = []
     for lo in range(0, len(cases), chunk_size):
-        nb = build_nr_batch(cases[lo:lo + chunk_size])
+        bus, branch, gen, base = stack_cases(cases[lo:lo + chunk_size])
+        ns = build_nr_small_stacked(bus, branch, gen, base)
+        vm0, va0 = ns.vm0, ns.va0
         if warm_start is not None:
             wv = np.asarray(warm_start[0][lo:lo + chunk_size], np.float32)
             wth = np.asarray(warm_start[1][lo:lo + chunk_size], np.float32)
-            vm0, va0 = nb.vm0.copy(), nb.va0.copy()
-            vm0[:, nb.pq] = wv[:, nb.pq]
-            va0[:, nb.pvpq] = wth[:, nb.pvpq]
-            nb = nb._replace(vm0=vm0, va0=va0)
-        vm, va, conv, it = _nr_solve(
-            jnp.asarray(nb.gmat), jnp.asarray(nb.bmat),
-            jnp.asarray(nb.p_sched), jnp.asarray(nb.q_sched),
-            jnp.asarray(nb.vm0), jnp.asarray(nb.va0),
-            jnp.asarray(nb.pvpq), jnp.asarray(nb.pq),
-            tol=tol, max_iter=max_iter,
+            vm0, va0 = vm0.copy(), va0.copy()
+            vm0[:, ns.pq] = wv[:, ns.pq]
+            va0[:, ns.pvpq] = wth[:, ns.pvpq]
+        f = branch[0, :, 0].astype(np.int32) - 1
+        t = branch[0, :, 1].astype(np.int32) - 1
+        has_status = branch.shape[2] > 10
+        core = _nr_core(f, t, (bus.shape, branch.shape), has_status)
+        k1 = compact_after if 0 < compact_after < max_iter else max_iter
+        dev = core(
+            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
+            jnp.asarray(base, jnp.float32),
+            jnp.asarray(ns.p_sched), jnp.asarray(ns.q_sched),
+            jnp.asarray(vm0), jnp.asarray(va0),
+            jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+            jnp.asarray(k1, jnp.int32),
         )
-        vms.append(np.asarray(vm))
-        vas.append(np.asarray(va))
-        convs.append(np.asarray(conv))
-        its.append(int(it))
+        pending.append((dev, bus, branch, base, ns, f, t, has_status, k1))
+
+    vms, vas, convs, its, itgs = [], [], [], [], []
+    for dev, bus, branch, base, ns, f, t, has_status, k1 in pending:
+        n = bus.shape[1]
+        packed = np.array(dev)
+        it_chunk = int(packed[0, 2 * n + 1])
+        bad = np.flatnonzero(packed[:, 2 * n] < 0.5)
+        if k1 < max_iter and bad.size:
+            # Per-grid convergence exit: the lock-step while_loop is gated
+            # by the WORST grid in the chunk — after k1 iterations the
+            # converged majority stops paying Jacobian builds; the
+            # stragglers are repacked into a power-of-2 sub-batch (bounded
+            # program-shape count) and continue from their CURRENT
+            # iterates with the remaining budget. One extra fetch + one
+            # extra dispatch round trip — worth it when a full-batch
+            # iteration costs more than that (the large cases).
+            sub = max(8, 1 << int(np.ceil(np.log2(bad.size))))
+            sel = np.concatenate([bad, np.repeat(bad[:1], sub - bad.size)])
+            core2 = _nr_core(
+                f, t, ((sub,) + bus.shape[1:], (sub,) + branch.shape[1:]),
+                has_status,
+            )
+            p2 = np.asarray(core2(
+                jnp.asarray(bus[sel], jnp.float32),
+                jnp.asarray(branch[sel], jnp.float32),
+                jnp.asarray(base[sel], jnp.float32),
+                jnp.asarray(ns.p_sched[sel]), jnp.asarray(ns.q_sched[sel]),
+                jnp.asarray(packed[sel, :n], jnp.float32),
+                jnp.asarray(packed[sel, n:2 * n], jnp.float32),
+                jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+                jnp.asarray(max_iter - k1, jnp.int32),
+            ))[:bad.size]
+            packed[bad, :2 * n] = p2[:, :2 * n]
+            packed[bad, 2 * n] = p2[:, 2 * n]
+            packed[bad, 2 * n + 2] = k1 + p2[:, 2 * n + 2]
+            it_chunk += int(p2[0, 2 * n + 1])
+        vms.append(packed[:, :n])
+        vas.append(packed[:, n:2 * n])
+        convs.append(packed[:, 2 * n] > 0.5)
+        its.append(it_chunk)
+        itgs.append(packed[:, 2 * n + 2].astype(np.int32))
     return {
         "v": np.concatenate(vms).astype(np.float32),
         "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
@@ -317,4 +538,6 @@ def solve_batched(
         # per-chunk counts so callers (bench_hybrid, hybrid_solve) can
         # audit where the lock-step while_loop spent its iterations
         "iterations_per_chunk": its,
+        # iteration at which each grid individually met tol
+        "iterations_per_grid": np.concatenate(itgs),
     }

@@ -67,8 +67,9 @@ class GNSConfig:
     # predicted angles carry an arbitrary offset; eval decodes it away by
     # slack alignment (eval/harness.py align_slack_angle), which makes
     # this knob a training-time regularizer rather than a requirement.
-    # Anchors to theta_slack = 0, the slack-relative gauge (every shipped
-    # base case has slack Va = 0; the eval decode adds the case's Va).
+    # Anchors to theta_slack = 0, the slack-relative gauge; the eval
+    # decode adds the case's actual slack Va (0 for most shipped cases;
+    # the authentic IEEE case118 stores Va=30 deg at its slack bus 69).
     slack_anchor: float = 0.0
     # Data-prep convention for the physics residual's shunt terms. The
     # reference overwrites every bus's Gs/Bs with the paper defaults

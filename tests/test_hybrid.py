@@ -76,6 +76,23 @@ def test_bad_warm_start_falls_back_to_flat():
     assert flat["converged"][bad].all()
 
 
+def test_compaction_matches_lockstep():
+    """compact_after (per-grid convergence exit) must reach the same
+    fixed points and convergence flags as the pure lock-step solve — the
+    stragglers continue from their current iterates, so the root is
+    unchanged; only the batch shape of the tail iterations differs."""
+    cases = _feasible_cases(30, 12)
+    lock = solve_batched(cases, tol=3e-5)
+    comp = solve_batched(cases, tol=3e-5, compact_after=3)
+    assert lock["converged"].all() and comp["converged"].all()
+    np.testing.assert_allclose(comp["v"], lock["v"], atol=2e-5)
+    np.testing.assert_allclose(comp["theta_deg"], lock["theta_deg"],
+                               atol=2e-3)
+    # per-grid counts: early finishers recorded below the lock-step gate
+    assert comp["iterations_per_grid"].min() <= lock["iterations"]
+    assert (comp["iterations_per_grid"] <= comp["iterations"]).all()
+
+
 def test_hybrid_solve_end_to_end():
     from gns_tpu.eval.hybrid import hybrid_solve
     from gns_tpu.models.pretrained import available_cases, load_pretrained

@@ -68,6 +68,9 @@ def main():
                     help="pretrained variant suffix: sup | paper | parity")
     ap.add_argument("--scenario", default="base",
                     choices=["base", "hot", "both"])
+    ap.add_argument("--compact", type=int, default=0,
+                    help="per-grid convergence exit: compact_after "
+                         "iterations for BOTH arms (0 = lock-step)")
     ap.add_argument("--legacy", action="store_true",
                     help="also time the round-2 two-dispatch pipeline")
     args = ap.parse_args()
@@ -91,8 +94,10 @@ def main():
 
         if args.scenario in ("base", "both"):
             # Warm both program caches (compile + one run each).
-            flat = solve_batched(cases, tol=args.tol)
-            hybrid = hybrid_solve(params, cfg, cases, tol=args.tol)
+            flat = solve_batched(cases, tol=args.tol,
+                                 compact_after=args.compact)
+            hybrid = hybrid_solve(params, cfg, cases, tol=args.tol,
+                                  compact_after=args.compact)
             both = flat["converged"] & hybrid["converged"]
             np.testing.assert_allclose(  # same fixed point
                 flat["v"][both], hybrid["v"][both], atol=5e-4
@@ -108,10 +113,12 @@ def main():
                              predictor=predictor)
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                flat = solve_batched(cases, tol=args.tol)
+                flat = solve_batched(cases, tol=args.tol,
+                                     compact_after=args.compact)
                 t_flat = min(t_flat, time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                hybrid = hybrid_solve(params, cfg, cases, tol=args.tol)
+                hybrid = hybrid_solve(params, cfg, cases, tol=args.tol,
+                                      compact_after=args.compact)
                 t_hybrid = min(t_hybrid, time.perf_counter() - t0)
                 if args.legacy:
                     t0 = time.perf_counter()
@@ -126,9 +133,14 @@ def main():
                 "tol": args.tol,
                 "iters_flat": int(flat["iterations"]),
                 "iters_hybrid": int(hybrid["iterations"]),
+                "iters_grid_mean_flat": round(
+                    float(flat["iterations_per_grid"].mean()), 2),
+                "iters_grid_mean_hybrid": round(
+                    float(hybrid["iterations_per_grid"].mean()), 2),
                 "converged_flat": int(flat["converged"].sum()),
                 "converged_hybrid": int(hybrid["converged"].sum()),
                 "fallback_grids": int(hybrid["fallback_grids"]),
+                "compact": args.compact,
                 "wall_ms_flat": round(t_flat * 1e3, 2),
                 "wall_ms_hybrid": round(t_hybrid * 1e3, 2),
                 "speedup": round(t_flat / t_hybrid, 3),
