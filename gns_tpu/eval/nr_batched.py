@@ -319,6 +319,13 @@ def _nr_core(f: np.ndarray, t: np.ndarray, shapes: tuple, has_status: bool):
     return fn
 
 
+# Stalled-at-floor acceptance cap: a grid whose mismatch is below this
+# (0.03 MW on a 100 MVA base — 2-3 orders under GNS model error) and no
+# longer making Newton progress is accepted as converged at its
+# float32-attainable iterate. See the gate comment in _nr_solve's body.
+_STALL_TOL = 3e-4
+
+
 @jax.jit
 def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
               tol: float = 3e-5, max_iter: int = 20):
@@ -355,11 +362,11 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
         )
 
     def cond(state):
-        vm, va, conv, it, itg = state
+        vm, va, conv, it, itg, fprev = state
         return jnp.logical_and(it < max_iter, ~jnp.all(conv))
 
     def body(state):
-        vm, va, conv, it, itg = state
+        vm, va, conv, it, itg, fprev = state
         a1, a2, p, q = trig_terms(vm, va)
         f = f_of(p, q)
 
@@ -405,17 +412,32 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
         vm = vm.at[:, pq].add(-upd[:, n_pvpq:])
 
         _, _, p, q = trig_terms(vm, va)
-        now = jnp.max(jnp.abs(f_of(p, q)), axis=1) < tol
+        fmax = jnp.max(jnp.abs(f_of(p, q)), axis=1)
+        # Convergence gate: below tol, OR stalled at the float32 mismatch
+        # floor. The floor scales with the largest |V_m V_k Y_mk| products
+        # being cancelled — the authentic IEEE case118's stiff 345 kV
+        # branches (x down to 0.00405 -> |y| ~ 250 p.u.) put it at
+        # ~2.5e-5, above a 3e-5 tol for some draws. A grid whose mismatch
+        # is small (< _STALL_TOL, 0.03 MW on a 100 MVA base) and no longer
+        # making Newton progress (not shrinking by 30%/iteration — in the
+        # quadratic regime it shrinks by orders of magnitude) has reached
+        # its f32-attainable iterate; more lock-step iterations cannot
+        # improve it and only gate the rest of the batch.
+        now = jnp.logical_or(
+            fmax < tol,
+            jnp.logical_and(fmax < _STALL_TOL, fmax > 0.7 * fprev),
+        )
         itg = jnp.where(now & ~conv, it + 1, itg)
         conv = jnp.logical_or(conv, now)
-        return vm, va, conv, it + 1, itg
+        return vm, va, conv, it + 1, itg, fmax
 
     _, _, p0, q0 = trig_terms(vm0, va0)
     conv0 = jnp.max(jnp.abs(f_of(p0, q0)), axis=1) < tol
     it0 = jnp.asarray(0, jnp.int32)
     itg0 = jnp.zeros(vm0.shape[0], jnp.int32)
-    vm, va, conv, it, itg = jax.lax.while_loop(
-        cond, body, (vm0, va0, conv0, it0, itg0)
+    fprev0 = jnp.full(vm0.shape[0], jnp.inf, vm0.dtype)
+    vm, va, conv, it, itg, _ = jax.lax.while_loop(
+        cond, body, (vm0, va0, conv0, it0, itg0, fprev0)
     )
     # stragglers that never met tol carry the full iteration count
     itg = jnp.where(conv, itg, it)

@@ -76,6 +76,22 @@ def test_bad_warm_start_falls_back_to_flat():
     assert flat["converged"][bad].all()
 
 
+def test_stall_gate_converges_stiff_case118():
+    """The authentic IEEE case118's stiff 345 kV branches (|y| ~ 250
+    p.u.) put the float32 mismatch floor near/above tol=3e-5 for some
+    draws; the stalled-at-floor gate must accept those grids at their
+    attainable iterate instead of spinning the whole batch to max_iter —
+    and the accepted iterate must still match the float64 oracle."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    cases = _feasible_cases(118, 32)
+    out = solve_batched(cases, tol=3e-5)
+    assert out["converged"].all()
+    assert out["iterations"] < 10  # was 20 (max_iter) before the gate
+    r = newton_raphson_pf(cases[0])
+    np.testing.assert_allclose(out["v"][0], r.vm, atol=2e-5)
+
+
 def test_compaction_matches_lockstep():
     """compact_after (per-grid convergence exit) must reach the same
     fixed points and convergence flags as the pure lock-step solve — the
