@@ -100,6 +100,16 @@ _PRETRAINED["multi-paper"] = (
     "pretrained_multi_K4_L20_H10_paper.pth",
     dict(case_nr=0, reference_parity=False, qg_gen_only=True, **_BEST),
 )
+# "multi-sup" — the multi-paper generalist fine-tuned on Newton-Raphson
+# labels across all five cases (tools/train_pretrained_extras.py
+# --which multi-sup; gns_tpu/train/supervised.py train_supervised_multi).
+# The accuracy flagship: cross-case training regularizes against the
+# branch drift that limits single-case unsupervised models (ROADMAP #7),
+# and the NR-label fine-tune lifted every specialist.
+_PRETRAINED["multi-sup"] = (
+    "pretrained_multi_K4_L20_H10_sup.pth",
+    dict(case_nr=0, reference_parity=False, qg_gen_only=True, **_BEST),
+)
 # "{c}-paper" — trained on the textbook AC residual instead of the
 # reference's quirky one (reference_parity=False) WITH the quirk-Q8 fix
 # (qg_gen_only=True: reactive generation only at generator buses, so the
@@ -129,9 +139,22 @@ _PRETRAINED["30-paper"] = (
     dict(case_nr=30, reference_parity=False, qg_gen_only=True,
          dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1, **_BEST),
 )
+# The authentic IEEE case118 (round 3) carries 14 real shunt banks and
+# stiff 345 kV branches that scale the textbook residual ~1e4x case14's:
+# unclipped Adam stalls at a ~5e4 plateau (measured, /tmp-logged runs at
+# v MSE 0.042-0.046), while the oracle-consistent recipe WITH
+# grad_clip=1.0 + 300-step warmup trains to v MSE 0.000386 vs NR. Its
+# checkpoint therefore carries the case30-style oracle-consistent config
+# (true_shunts drives data prep at eval time too).
+_PRETRAINED["118-paper"] = (
+    "pretrained_c118_K4_L20_H10_paper.pth",
+    dict(case_nr=118, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         grad_clip=1.0, warmup_steps=300, **_BEST),
+)
 # case14 also carries a real shunt (19 MVAr at bus 9) — the oracle-
 # consistent recipe measured 1.23x better there (v MSE 0.00096 vs
-# 0.00119) and ships; on the shunt-free cases (9/118/300-synthetic) it
+# 0.00119) and ships; on the shunt-free cases (9/300-synthetic) it
 # was a wash-to-slightly-worse, so those keep the λ/paper-shunt recipe.
 _PRETRAINED["14-paper"] = (
     "pretrained_c14_K4_L20_H10_paper.pth",
@@ -149,8 +172,13 @@ for c in (9, 14, 30, 118, 300):
         f"pretrained_c{c}_K4_L20_H10_sup.pth",
         dict(case_nr=c, reference_parity=False, qg_gen_only=True, **_BEST),
     )
-# case30's supervised fine-tune inherits the true-shunt input convention
-# of its 30-paper warm start (see above).
+# case30's and case118's supervised fine-tunes inherit the true-shunt
+# input convention of their -paper warm starts (see above).
+_PRETRAINED["118-sup"] = (
+    "pretrained_c118_K4_L20_H10_sup.pth",
+    dict(case_nr=118, reference_parity=False, qg_gen_only=True,
+         true_shunts=True, **_BEST),
+)
 _PRETRAINED["30-sup"] = (
     "pretrained_c30_K4_L20_H10_sup.pth",
     dict(case_nr=30, reference_parity=False, qg_gen_only=True,

@@ -193,3 +193,73 @@ def train_supervised(
             best_state = jax.device_get(state)
             bad = 0
     return best_state, history
+
+
+def train_supervised_multi(
+    cfg: GNSConfig,
+    datasets,
+    label_sets,
+    w_physics: float = 0.1,
+    key=None,
+    method: str = "auto",
+    log_fn: Optional[Callable] = None,
+    state: Optional[TrainState] = None,
+) -> Tuple[TrainState, list]:
+    """Supervised fine-tuning of ONE model over several cases at once.
+
+    The supervised analog of trainer.train_multi: each case keeps its own
+    (GridBatch, NRLabels) bucket with its own shape/shared topology (no
+    padding to the largest case), one device-side scan per bucket per
+    epoch, shared parameters throughout. Early stop / best-checkpoint
+    track the mean of the per-case supervised metrics. Used to produce the
+    "multi-sup" generalist — the multi-paper generalist was already the
+    most accurate case30 model (ROADMAP #7) and supervised fine-tuning
+    lifted every specialist, so the combination is the accuracy flagship.
+    """
+    key = key if key is not None else jax.random.key(cfg.seed)
+    if state is None:
+        state = init_train_state(key, cfg)
+
+    steps, xss = [], []
+    for data, labels in zip(datasets, label_sets):
+        bs = min(cfg.batch_size, data.batch_size)
+        steps.append(
+            make_supervised_epoch_step(
+                cfg, w_physics, method=method,
+                topo=extract_shared_topology(data),
+            )
+        )
+        xss.append((stack_epoch(data, bs), stack_labels(labels, bs)))
+
+    best_metric = float("inf")
+    best_state = jax.device_get(state)  # steps donate their input state
+    bad = 0
+    history = []
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        sups, physs = [], []
+        for step, xs in zip(steps, xss):
+            state, metrics = step(state, xs)
+            sups.append(float(jnp.mean(metrics["sup"])))
+            physs.append(float(jnp.mean(metrics["physics"])))
+        sup = sum(sups) / len(sups)
+        dt = time.perf_counter() - t0
+        diverged = sup != sup or sup == float("inf")
+        history.append({
+            "epoch": epoch, "sup": sup, "group_sups": sups,
+            "physics": sum(physs) / len(physs), "sec": dt,
+            "diverged": diverged,
+        })
+        if log_fn:
+            log_fn(history[-1])
+        if diverged:
+            break
+        if sup >= best_metric:
+            bad += 1
+            if bad > cfg.early_stop_patience:
+                break
+        else:
+            best_metric = sup
+            best_state = jax.device_get(state)
+            bad = 0
+    return best_state, history

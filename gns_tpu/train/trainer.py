@@ -36,10 +36,14 @@ def make_optimizer(cfg: GNSConfig) -> optax.GradientTransformation:
     if cfg.warmup_steps > 0:
         lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
     if cfg.optimizer == "adagrad":
-        return optax.adagrad(lr)
-    if cfg.optimizer == "adam":
-        return optax.adam(lr)
-    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        opt = optax.adagrad(lr)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(lr)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
 
 
 def init_train_state(key, cfg: GNSConfig, optimizer=None) -> TrainState:

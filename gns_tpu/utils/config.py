@@ -117,6 +117,12 @@ class GNSConfig:
     # reference sketches (but comments out) an equivalent warmup scheduler
     # at GNS/main.py:245-247.
     warmup_steps: int = 0
+    # Global-norm gradient clipping (0 = off, the reference behavior).
+    # Needed for paper-mode training on the authentic IEEE case118: its
+    # stiff 345 kV branches (|y| ~ 250 p.u.) scale the textbook residual
+    # and its gradients ~1e4x case14's, and unclipped Adam stalls at a
+    # ~1e4 plateau (measured; see ROADMAP).
+    grad_clip: float = 0.0
     early_stop_patience: int = 2  # non-improving epochs tolerated (main.py:296-304)
     seed: int = 0
 

@@ -33,9 +33,16 @@ from tools.make_goldens import REF_GNS, install_stubs  # noqa: E402
 
 
 def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, seed,
-                    resume_path="/tmp/acc_torch_state.pt"):
+                    resume_path="/tmp/acc_torch_state.pt", train_cases=None):
     """Train the reference; resumable (saves model+opt each epoch) so long
-    runs can proceed in <10-min chunks under the sandbox process cap."""
+    runs can proceed in <10-min chunks under the sandbox process cap.
+
+    train_cases: optional list of case dicts to train on instead of the
+    reference's shipped case14 pickles — used for the authentic-case30
+    head-to-head (the reference's own loader supports case30,
+    GNS/utils.py:48-50, but its data directory is read-only here, so the
+    prepared tensors are fed directly; prepare_case is layout-verified
+    against prepare_grid by the case14 golden fixtures)."""
     import torch
 
     install_stubs()
@@ -44,12 +51,20 @@ def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, see
     from utils import get_BLG, prepare_grid
 
     B, L, G = get_BLG()
-    cwd = os.getcwd()
-    os.chdir(REF_GNS)
-    try:
-        grids = [prepare_grid(14, i) for i in range(1, nr_samples + 1)]
-    finally:
-        os.chdir(cwd)
+    if train_cases is not None:
+        from gns_tpu.utils.prepare import prepare_case
+
+        grids = [
+            tuple(torch.from_numpy(a) for a in prepare_case(c))
+            for c in train_cases[:nr_samples]
+        ]
+    else:
+        cwd = os.getcwd()
+        os.chdir(REF_GNS)
+        try:
+            grids = [prepare_grid(14, i) for i in range(1, nr_samples + 1)]
+        finally:
+            os.chdir(cwd)
 
     torch.manual_seed(seed)
     model = ref_main.GNS(latent_dim=latent, hidden_dim=hidden, K=K, gamma=0.9,
@@ -148,6 +163,14 @@ def main():
                          "generation only at generator buses, so the loss "
                          "carries a live load-bus reactive residual; "
                          "utils/config.py qg_gen_only)")
+    ap.add_argument("--case", type=int, default=14, choices=[14, 30],
+                    help="case14: the reference's shipped pickles. case30: "
+                         "the second fully-authentic head-to-head — both "
+                         "sides train on the SAME augmented grids of the "
+                         "verified IEEE case30 (utils/cases.py) generated "
+                         "with the reference's C9 augmentation semantics, "
+                         "and evaluate on the same held-out range "
+                         "(mirroring the case14 index layout, Q6 fixed)")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16
@@ -155,11 +178,22 @@ def main():
     K, latent, hidden, mphi = 4, 20, 10, True
     seed = 1234
 
-    # ---- held-out eval grids: last pickles shipped with the reference ----
-    cases = []
-    for i in range(1001 - args.eval_samples, 1001):
-        with open(f"{REF_DATA}/case14/augmented_case14_{i}.pkl", "rb") as f:
-            cases.append(pickle.load(f))
+    # ---- train + held-out grids ----
+    train_cases = None
+    if args.case == 14:
+        # last pickles shipped with the reference
+        cases = []
+        for i in range(1001 - args.eval_samples, 1001):
+            with open(f"{REF_DATA}/case14/augmented_case14_{i}.pkl", "rb") as f:
+                cases.append(pickle.load(f))
+    else:
+        from gns_tpu.utils.augment import generate_cases
+
+        # one seeded pool in the reference's index layout: grids 1..N train,
+        # tail evaluates (same grids for every method — Q6 fixed)
+        pool = list(generate_cases(args.case, 1000, seed=20301))
+        train_cases = pool[1:1 + args.nr_samples]
+        cases = pool[1001 - args.eval_samples:1001]
 
     # ---- NR oracle ----
     from gns_tpu.eval.harness import compute_metrics, run_nr_oracle
@@ -167,12 +201,15 @@ def main():
     nr = run_nr_oracle(cases)
     print(f"NR oracle: {nr['converged'].mean()*100:.0f}% converged", flush=True)
 
-    out_path = os.path.join(REPO, "ACCURACY.json")
+    out_path = os.path.join(
+        REPO,
+        "ACCURACY.json" if args.case == 14 else f"ACCURACY_case{args.case}.json",
+    )
     result = {
         "config": {"K": K, "latent": latent, "hidden": hidden,
                    "multiple_phi": mphi, "epochs": args.epochs,
                    "train_grids": args.nr_samples,
-                   "eval_grids": args.eval_samples},
+                   "eval_grids": args.eval_samples, "case": args.case},
     }
     if os.path.exists(out_path):
         with open(out_path) as f:
@@ -189,10 +226,16 @@ def main():
         cfg = GNSConfig(K=K, latent_dim=latent, hidden_dim=hidden,
                         multiple_phi=mphi, epochs=args.epochs,
                         nr_samples=args.nr_samples, seed=seed,
+                        case_nr=args.case,
                         batch_size=min(128, args.nr_samples),
                         reference_parity=(args.physics == "parity"),
                         qg_gen_only=args.qg_gen_only)
-        data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
+        if args.case == 14:
+            data = load_all_grids(14, args.nr_samples, data_dir=REF_DATA)
+        else:
+            from gns_tpu.utils.prepare import batch_from_cases
+
+            data = batch_from_cases(train_cases)
         t0 = time.perf_counter()
         best, history = train(cfg, data, log_fn=lambda r: (
             print(f"[jax] epoch {r['epoch']} last_loss {r['final_loss']:.6f}",
@@ -214,7 +257,9 @@ def main():
     if args.phase in ("all", "torch"):
         sd, torch_sec = train_reference(args.epochs, K, latent, hidden, mphi,
                                         args.nr_samples,
-                                        min(128, args.nr_samples), seed)
+                                        min(128, args.nr_samples), seed,
+                                        resume_path=f"/tmp/acc_torch_state_c{args.case}.pt",
+                                        train_cases=train_cases)
         v_t, th_t = eval_reference(sd, cases, K, latent, hidden, mphi)
         gns_t = {"time": np.zeros(len(cases), np.float32), "v": v_t,
                  "theta": th_t,

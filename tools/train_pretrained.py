@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="augmentation strength; case300 needs <=0.5 to "
                          "stay NR-feasible (utils/augment.py)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the optimizer default learning rate "
+                         "(the authentic case118's stiff branches make "
+                         "the paper-mode residual scale ~1e6x case14's; "
+                         "Adam at the default 1e-3 stalls there)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear LR warmup steps (GNSConfig.warmup_steps)")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip (GNSConfig.grad_clip)")
     ap.add_argument("--v-anchor", type=float, default=0.0,
                     help="paper mode: weak (v-1)^2 tie-breaker on free "
                          "buses toward the high-voltage power-flow branch "
@@ -81,6 +90,8 @@ def main():
             qg_gen_only=paper, dispatch=args.dispatch if paper else "lambda",
             true_shunts=true_shunts,
             v_anchor=args.v_anchor if paper else 0.0,
+            learning_rate=args.lr, warmup_steps=args.warmup,
+            grad_clip=args.grad_clip,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )

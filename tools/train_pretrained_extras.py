@@ -41,9 +41,10 @@ def heldout_residual(params, cfg, case, n=64):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", nargs="+", default=["deep300", "multi"],
-                    help="deep300 | multi | deep300-paper (K=8/L40 with "
-                         "textbook physics + the quirk-Q8 fix at "
-                         "augmentation scale 0.5)")
+                    help="deep300 | multi | multi-paper | multi-sup | "
+                         "deep300-paper (K=8/L40 with textbook physics + "
+                         "the quirk-Q8 fix at augmentation scale 0.5); "
+                         "multi-sup = NR-label fine-tune of multi-paper")
     ap.add_argument("--grids", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--patience", type=int, default=20)
@@ -57,6 +58,10 @@ def main():
     ap.add_argument("--v-anchor", type=float, default=0.0,
                     help="paper mode: weak (v-1)^2 high-voltage-branch "
                          "tie-breaker (GNSConfig.v_anchor)")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip for the paper-mode "
+                         "variants (the authentic case118 bucket needs "
+                         "it, see train_pretrained.py --grad-clip)")
     args = ap.parse_args()
 
     from gns_tpu.train.checkpoint import export_torch
@@ -90,7 +95,7 @@ def main():
             case_nr=300, K=8, latent_dim=40, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
             true_shunts=args.true_shunts, dispatch=args.dispatch,
-            v_anchor=args.v_anchor,
+            v_anchor=args.v_anchor, grad_clip=args.grad_clip,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
@@ -124,7 +129,7 @@ def main():
             case_nr=0, K=4, latent_dim=20, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
             true_shunts=args.true_shunts, dispatch=args.dispatch,
-            v_anchor=args.v_anchor,
+            v_anchor=args.v_anchor, grad_clip=args.grad_clip,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
@@ -153,6 +158,65 @@ def main():
             v_mses[f"c{c}"] = round(m["v_mse"], 6)
         print(json.dumps({
             "which": "multi-paper", "cases": cases,
+            "epochs_run": len(history),
+            "train_sec": round(time.perf_counter() - t0, 1),
+            "v_mse_vs_nr": v_mses,
+            "path": os.path.relpath(path, REPO),
+        }), flush=True)
+
+    if "multi-sup" in args.which:
+        # Supervised fine-tune of the multi-paper generalist (VERDICT r2
+        # item 7): the generalist is already the most accurate case30
+        # model (cross-case training regularizes against branch drift,
+        # ROADMAP #7) and NR-label fine-tuning lifted every specialist —
+        # this combines both. Same per-case buckets as multi-paper, NR
+        # labels from the float64 oracle, warm-started from multi-paper.
+        from gns_tpu.eval.harness import compute_metrics, run_gns, run_nr_oracle
+        from gns_tpu.models.pretrained import load_pretrained
+        from gns_tpu.train.supervised import (
+            nr_labels,
+            train_supervised_multi,
+        )
+        from gns_tpu.train.trainer import init_train_state
+
+        import jax
+
+        cases = [9, 14, 30, 118, 300]
+        scales = {9: 1.0, 14: 1.0, 30: 1.0, 118: 1.0, 300: 0.5}
+        warm_params, wcfg = load_pretrained("multi-paper")
+        cfg = wcfg.replace(
+            epochs=args.epochs, early_stop_patience=args.patience,
+            batch_size=128, seed=0, grad_clip=args.grad_clip,
+        )
+        per = max(8, args.grids // len(cases))
+        datasets, label_sets = [], []
+        for i, c in enumerate(cases):
+            cs = list(generate_cases(
+                c, per, seed=i, scale=scales[c], feasible_only=True
+            ))[1:]
+            data = batch_from_cases(cs, paper_shunts=not cfg.true_shunts)
+            datasets.append(data)
+            label_sets.append(nr_labels(cs, n_pad=data.buses.shape[1]))
+        state = init_train_state(jax.random.key(0), cfg)._replace(
+            params=warm_params
+        )
+        t0 = time.perf_counter()
+        best, history = train_supervised_multi(
+            cfg, datasets, label_sets, state=state
+        )
+        path = os.path.join(ASSET_DIR, "pretrained_multi_K4_L20_H10_sup.pth")
+        export_torch(path, best, cfg)
+        v_mses = {}
+        for c in cases:
+            held = list(generate_cases(
+                c, 32, seed=12345, scale=scales[c], feasible_only=True))[1:]
+            m = compute_metrics(
+                run_nr_oracle(held),
+                run_gns(best.params, cfg.replace(case_nr=c), held),
+            )
+            v_mses[f"c{c}"] = round(m["v_mse"], 6)
+        print(json.dumps({
+            "which": "multi-sup", "cases": cases,
             "epochs_run": len(history),
             "train_sec": round(time.perf_counter() - t0, 1),
             "v_mse_vs_nr": v_mses,

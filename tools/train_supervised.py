@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--eval-grids", type=int, default=64)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--w-physics", type=float, default=0.1)
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip (GNSConfig.grad_clip; "
+                         "needed on the authentic case118, see "
+                         "train_pretrained.py --grad-clip)")
     ap.add_argument("--K", type=int, default=4)
     ap.add_argument("--latent", type=int, default=20)
     ap.add_argument("--hidden", type=int, default=10)
@@ -62,7 +66,7 @@ def main():
         case_nr=args.case, K=args.K, latent_dim=args.latent,
         hidden_dim=args.hidden, multiple_phi=True,
         reference_parity=False, qg_gen_only=True,
-        true_shunts=args.true_shunts,
+        true_shunts=args.true_shunts, grad_clip=args.grad_clip,
         seed=0, epochs=args.epochs, early_stop_patience=args.patience,
         batch_size=128,
     )
