@@ -13,54 +13,62 @@ Provenance: trained on one TPU v5e chip with reference-parity physics on
 `python -m gns_tpu.train`, 1000 grids, 600 epochs). Held-out physics
 residuals (fresh augmentation seed):
 
-  case9 0.0070 | case14 0.0367 | case30 0.0117 | case118 0.0166 |
-  case300 0.0343   (each trained in minutes; case30 on the authentic
-  IEEE table since round 2 — older synthetic-era numbers in git history
-  are not comparable. ACCURACY.md's 101-epoch parity run for context:
-  gns_tpu 0.053, reference 0.062)
+  case9 0.0070 | case14 0.0367 | case30 0.0117 | case118 0.0572 |
+  case300 0.0343   (each trained in minutes; case30 authentic since
+  round 2, case118 authentic since round 3 — its residual scale reflects
+  the real network's stiff branches, and earlier synthetic-era numbers
+  in git history are not comparable. ACCURACY.md's 101-epoch parity run
+  for context: gns_tpu 0.053, reference 0.062)
 
 Variant checkpoints (tools/train_pretrained_extras.py):
   "300-deep" (K=8, latent 40): held-out residual 0.0068 — 5x better than
   the K=4 case300 model, trained in ~7 min.
   "multi" (one model, all five cases, train_multi round-robin): held-out
-  residuals c9 0.0395 / c14 0.0648 / c30 0.0438 / c118 0.0337 /
-  c300 0.0602 — a single parameter set within ~2-4x of the per-case
-  specialists.
+  residuals c9 0.121 / c14 0.101 / c30 0.062 / c118 0.103 / c300 0.096
+  — a single parameter set across every case, including the authentic
+  case118 whose stiff-branch residual scale dominates the shared
+  objective (the round-2 synthetic-118 numbers were ~2x lower for the
+  small cases; the shared weights now also carry the real grid).
 
 Paper-physics checkpoints ("{c}-paper", tools/train_pretrained.py
 --physics paper; textbook residual + the quirk-Q8 fix qg_gen_only): v MSE
 vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
-  c9 0.00046 | c14 0.00096* | c30 0.0552* | c118 0.00106 | c300 0.00078
-  (c300 at augmentation scale=0.5; see utils/augment.py). The parity
-  checkpoints score 0.0170 (c118) / 0.0104 (c300) on the same protocol:
-  the paper models are 13-16x closer to the oracle. Parity checkpoints
-  remain the default for reference-identical behavior.
+  c9 0.00046 | c14 0.00096* | c30 0.0258* | c118 0.00039* | c300 0.00078
+  (c300 at augmentation scale=0.5; see utils/augment.py).
   *case14 trains on the oracle-consistent recipe (setpoint_slack +
   true_shunts + v_anchor — its real 19 MVAr bus-9 shunt is modeled;
-  1.23x better than the paper-shunt recipe). case30 is the authentic IEEE grid — a structurally harder unsupervised
-  problem (true shunts + multiple power-flow branches at reference-
-  strength augmentation; ACCURACY.md "authentic IEEE case30"). Its
-  recipe is setpoint_slack + true_shunts + v_anchor 0.1, the best of the
-  measured ablations (0.0552 vs 0.070 paper-shunt-λ, 0.44/0.50 unanchored
-  drift); for the best unsupervised case30 weights use "multi-paper".
-  "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039 — the
-  most accurate unsupervised shipped model.
-  "multi-paper" (ONE weight set, all five cases, λ + qg_gen_only): v MSE
-  c9 0.00073 / c14 0.00306 / c30 0.00905 / c118 0.00138 / c300 0.00081.
-  The generalist beats every parity-mode specialist AND the case30 paper
-  specialist by 6x: cross-case training regularizes against the
-  low-voltage-branch drift that traps the single-case objective.
+  1.23x better than the paper-shunt recipe).
+  *case30 (authentic IEEE): the structurally hardest unsupervised
+  problem shipped (true shunts + multiple power-flow branches at
+  reference-strength augmentation; ACCURACY.md). Round 3: warm-starting
+  the oracle-consistent recipe from the multi-paper generalist
+  (tools/exp_c30_specialist.py) beats round-2's cold-start 0.0552 by
+  2.1x (curriculum over augmentation scale measured 0.0310); the
+  remaining gap to the generalist itself (0.0092) is documented
+  headroom.
+  *case118 (authentic IEEE, round 3): stiff 345 kV branches scale the
+  residual ~1e4x case14's — trains ONLY with grad_clip=1.0 + warmup
+  (unclipped Adam stalls at a ~5e4 plateau, v MSE 0.042-0.046); with
+  them, the oracle-consistent recipe reaches 0.00039.
+  "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039.
+  "multi-paper" (ONE weight set, all five cases, qg_gen_only +
+  grad_clip): v MSE c9 0.00125 / c14 0.00353 / c30 0.00916 /
+  c118 0.00060 / c300 0.00089. The generalist remains the best
+  unsupervised case30 model by 2.8x: cross-case training regularizes
+  against the low-voltage-branch drift that traps the single-case
+  objective.
 
-Supervised fine-tuned checkpoints ("{c}-sup", tools/train_supervised.py
---warm-start {c}-paper --export; loss = NR-label supervision + 0.1 *
-physics on NR-feasible grids): v MSE vs the oracle on 64 held-out
-feasible grids —
-  c9 0.00040 | c14 0.00055 | c30 0.00724 | c118 0.00071 | c300 0.00063
-  — the most oracle-accurate weights per case at the reference's best
-  architecture (case300 at augmentation scale=0.5 like its paper
-  sibling; case14/case30 with true-shunt inputs;
-  case118/300 grids are synthetic stand-ins, see utils/cases.py and
-  README).
+Supervised fine-tuned checkpoints (loss = NR-label supervision + 0.1 *
+physics on NR-feasible grids): per-case "{c}-sup"
+(tools/train_supervised.py --warm-start {c}-paper --export) —
+  c9 0.00040 | c14 0.00055 | c30 0.00626 | c118 0.00032 | c300 0.00063
+  — and the round-3 accuracy flagship "multi-sup" (ONE weight set,
+  tools/train_pretrained_extras.py --which multi-sup, warm-started from
+  multi-paper): v MSE c9 0.00094 / c14 0.00302 / c30 0.00843 /
+  c118 0.00037 / c300 0.00071, better than multi-paper on every case.
+  (case300 at augmentation scale=0.5 like its paper sibling;
+  case14/30/118 with true-shunt inputs; only case300's base table
+  remains a labeled synthetic stand-in, see utils/cases.py.)
 """
 
 from __future__ import annotations

@@ -98,6 +98,7 @@ def make_epoch_step(
     donate: bool = True,
     topo=None,
     dense: bool = False,
+    precision=None,
 ) -> Callable:
     """Device-side epoch: one dispatch runs a lax.scan of update steps over
     a stacked batch axis.
@@ -108,12 +109,20 @@ def make_epoch_step(
     Eliminates per-batch host dispatch latency — on this environment's
     remote TPU a dispatch costs ~0.5 ms, comparable to the whole device-side
     step, so scanning an epoch per call roughly doubles throughput.
+
+    precision: matmul precision override for the f32 path. None keeps the
+    parity default (HIGHEST when compute_dtype is float32 — bit parity
+    needs the 6-pass lowering). jax.lax.Precision.HIGH (3 passes) is
+    measured 1.29x faster end-to-end on the f32 path
+    (tools/exp_f32_precision.py, round 3) at ~1-ulp cost — the fast
+    non-parity f32 option.
     """
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, batch: GridBatch):
         out = gns_forward_batch(
-            params, cfg, batch, method=method, topo=topo, dense=dense
+            params, cfg, batch, method=method, precision=precision,
+            topo=topo, dense=dense,
         )
         return jnp.mean(out.total_loss), jnp.mean(out.last_loss)
 

@@ -42,6 +42,12 @@ def main():
     # config, a phantom 50% regression).
     p.add_argument("--method", default="auto")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--precision", default=None,
+                   choices=[None, "HIGH", "HIGHEST"],
+                   help="matmul precision override for the f32 path "
+                        "(None = parity default: HIGHEST when f32). "
+                        "HIGH = 3-pass bf16 passes — faster, breaks bit "
+                        "parity (ROADMAP #4 measurement)")
     p.add_argument("--remat", default="auto", choices=["auto", "on", "off"])
     p.add_argument("--unroll", type=int, default=None)
     p.add_argument("--gather", default=None, choices=[None, "take", "onehot"])
@@ -86,8 +92,11 @@ def main():
     state = init_train_state(jax.random.key(0), cfg)
     optimizer = make_optimizer(cfg)
 
+    prec = getattr(jax.lax.Precision, args.precision) if args.precision else None
+
     def loss_fn(params):
-        out = gns_forward_batch(params, cfg, batch, method=args.method, topo=topo)
+        out = gns_forward_batch(params, cfg, batch, method=args.method,
+                                precision=prec, topo=topo)
         return jnp.mean(out.total_loss)
 
     grad_fn = jax.grad(loss_fn)
