@@ -126,3 +126,27 @@ def test_supervised_training_decreases_label_error():
     bad = list(generate_cases(300, 3, seed=5))[1:]  # full-strength: diverges
     with _pytest.raises(ValueError):
         nr_labels(bad)
+
+
+def test_supervised_multi_trains_one_model_over_cases():
+    """train_supervised_multi (the multi-sup generalist's trainer): one
+    parameter set over per-case (GridBatch, NRLabels) buckets; the mean
+    supervised metric must drop and per-case metrics must be tracked."""
+    from gns_tpu.train.supervised import nr_labels, train_supervised_multi
+    from gns_tpu.utils.augment import generate_cases
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import batch_from_cases
+
+    cfg = GNSConfig(case_nr=0, K=2, latent_dim=8, hidden_dim=8,
+                    reference_parity=False, qg_gen_only=True,
+                    epochs=10, early_stop_patience=10, batch_size=8, seed=0)
+    datasets, label_sets = [], []
+    for i, c in enumerate((9, 14)):
+        cs = list(generate_cases(c, 8, seed=i, feasible_only=True))[1:]
+        data = batch_from_cases(cs)
+        datasets.append(data)
+        label_sets.append(nr_labels(cs, n_pad=data.buses.shape[1]))
+    best, hist = train_supervised_multi(cfg, datasets, label_sets)
+    assert hist[-1]["sup"] < hist[0]["sup"]
+    assert len(hist[0]["group_sups"]) == 2
+    assert all(not h["diverged"] for h in hist)
