@@ -1,0 +1,75 @@
+"""N-1 contingency screening (eval/contingency.py)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from gns_tpu.eval.contingency import n1_variants, screen_n1
+from gns_tpu.utils.cases import load_case
+
+
+def test_screen_n1_case14_flags_islanding_and_matches_oracle():
+    """All 20 branch + 4 non-slack-gen outages of case14 solve in one
+    batched dispatch; the bridge outage that islands bus 8 (its only
+    connection is the 7-8 transformer) must be flagged non-converged, and
+    converged contingencies must match the float64 oracle."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    case = load_case(14)
+    rep = screen_n1(case, gen_outages=True)
+    assert len(rep["outages"]) == 24  # 20 branches + 4 non-slack gens
+    assert rep["v"].shape == (24, 14)
+
+    # the islanding outage: the branch whose removal disconnects bus 8
+    br = np.asarray(case["branch"])
+    bridge = next(
+        i for i in range(br.shape[0])
+        if sorted((int(br[i, 0]), int(br[i, 1]))) == [7, 8]
+    )
+    assert not rep["converged"][bridge]
+    assert bridge in rep["worst"]
+    # everything else converges
+    assert rep["converged"].sum() == 23
+
+    # spot-check two converged contingencies against the f64 oracle
+    for i in (0, 21):
+        c2 = copy.deepcopy(case)
+        kind, idx = rep["outages"][i]
+        if kind == "branch":
+            c2["branch"] = np.asarray(c2["branch"], float).copy()
+            c2["branch"][idx, 10] = 0.0
+        else:
+            c2["gen"] = np.asarray(c2["gen"], float).copy()
+            c2["gen"][idx, 7] = 0.0
+        r = newton_raphson_pf(c2)
+        assert r.success
+        np.testing.assert_allclose(rep["v"][i], r.vm, atol=2e-5)
+
+    # violations counted at PQ buses only (gen magnitudes are set-points)
+    assert (rep["v_violations"][~rep["converged"]] == 0).all()
+    assert np.isnan(rep["v_min"][bridge])
+
+
+def test_screen_n1_warm_started_matches_flat():
+    """The GNS-warm-started screen (fused hybrid) reaches the same fixed
+    points and flags as the flat-start screen."""
+    from gns_tpu.models.pretrained import available_cases, load_pretrained
+
+    if "14-sup" not in available_cases():
+        pytest.skip("14-sup checkpoint not shipped")
+    params, cfg = load_pretrained("14-sup")
+    case = load_case(14)
+    flat = screen_n1(case)
+    warm = screen_n1(case, params=params, cfg=cfg)
+    np.testing.assert_array_equal(warm["converged"], flat["converged"])
+    ok = flat["converged"]
+    np.testing.assert_allclose(warm["v"][ok], flat["v"][ok], atol=5e-4)
+
+
+def test_n1_variants_reject_missing_status_column():
+    case = load_case(14)
+    case = dict(case)
+    case["branch"] = np.asarray(case["branch"])[:, :10]
+    with pytest.raises(ValueError):
+        n1_variants(case)
