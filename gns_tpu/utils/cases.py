@@ -620,6 +620,43 @@ def _synthetic_case(case_nr: int) -> Dict:
     }
 
 
+def renumber_case(case: Dict) -> Dict:
+    """Map arbitrary bus numbering to consecutive 1..N (pypower ext2int).
+
+    The real pypower `case300` numbers its buses 1..9533 NON-consecutively
+    (pypower renumbers internally via ext2int before solving; the
+    reference's own prepare_grid does NOT — its f_bus/t_bus columns are
+    used directly as indices, GNS/main.py:85-86, so the reference would
+    index out of bounds on that table). Every consumer here (prepare_case
+    gathers, the batched NR solver's dense assembly) requires consecutive
+    ids; this helper completes the documented "drop authentic data in
+    later" path: `renumber_case(real_case300)` -> usable by load-path,
+    solvers and models unchanged. Returns a NEW case dict; bus/gen/branch
+    id columns rewritten, every other column untouched. Idempotent for
+    already-consecutive cases.
+    """
+    bus = np.asarray(case["bus"], np.float64).copy()
+    gen = np.asarray(case["gen"], np.float64).copy()
+    branch = np.asarray(case["branch"], np.float64).copy()
+    old = bus[:, 0].astype(np.int64)
+    if np.array_equal(old, np.arange(1, old.size + 1)):
+        new_case = dict(case)
+        new_case["bus"], new_case["gen"], new_case["branch"] = bus, gen, branch
+        return new_case
+    mapping = {int(o): i + 1 for i, o in enumerate(old)}
+
+    def remap(col):
+        return np.asarray([mapping[int(x)] for x in col], np.float64)
+
+    bus[:, 0] = np.arange(1, old.size + 1)
+    gen[:, 0] = remap(gen[:, 0])
+    branch[:, 0] = remap(branch[:, 0])
+    branch[:, 1] = remap(branch[:, 1])
+    new_case = dict(case)
+    new_case["bus"], new_case["gen"], new_case["branch"] = bus, gen, branch
+    return new_case
+
+
 def load_case(case_nr: int) -> Dict:
     """Return the base (unaugmented) case dict for `case_nr`."""
     if case_nr == 9:

@@ -57,6 +57,42 @@ def test_synthetic_cases_connected():
         assert nx.is_connected(gph), f"case{nr} synthetic grid not connected"
 
 
+def test_renumber_case_preserves_solution():
+    """renumber_case (pypower ext2int analog): scrambling case14's bus ids
+    to a sparse numbering and renumbering back to 1..N must leave the
+    power-flow solution identical — the drop-in path for authentic
+    non-consecutively-numbered tables (real pypower case300)."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    base = cases.load_case(14)
+    ref = newton_raphson_pf(base)
+
+    # scramble: bus i -> 10*i + 3 (sparse, order-preserving)
+    import copy
+
+    scr = copy.deepcopy(base)
+    scr["bus"] = np.asarray(scr["bus"], float).copy()
+    scr["gen"] = np.asarray(scr["gen"], float).copy()
+    scr["branch"] = np.asarray(scr["branch"], float).copy()
+    f = lambda c: 10.0 * c + 3.0
+    scr["bus"][:, 0] = f(scr["bus"][:, 0])
+    scr["gen"][:, 0] = f(scr["gen"][:, 0])
+    scr["branch"][:, 0] = f(scr["branch"][:, 0])
+    scr["branch"][:, 1] = f(scr["branch"][:, 1])
+
+    fixed = cases.renumber_case(scr)
+    assert np.array_equal(
+        np.asarray(fixed["bus"])[:, 0], np.arange(1, 15)
+    )
+    got = newton_raphson_pf(fixed)
+    assert got.success
+    np.testing.assert_allclose(got.vm, ref.vm, atol=1e-9)
+    np.testing.assert_allclose(got.va_deg, ref.va_deg, atol=1e-7)
+    # idempotent on already-consecutive tables
+    again = cases.renumber_case(fixed)
+    np.testing.assert_array_equal(again["bus"], fixed["bus"])
+
+
 def test_case30_reproduces_published_solution():
     """The shipped case30 is the canonical IEEE 30-bus network: NR from
     flat start must reproduce the published solution — total losses
