@@ -273,7 +273,7 @@ def hybrid_solve(
     return_prediction: bool = False,
     fallback_flat: bool = True,
     fused: bool = True,
-    compact_after: int = 0,
+    compact_after: int = 3,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -295,7 +295,12 @@ def hybrid_solve(
     compact_after: per-grid convergence exit, forwarded to the Newton
     stage (see nr_batched.solve_batched) — after that many lock-step
     iterations the converged majority stops paying Jacobian builds and
-    the stragglers continue in a compact power-of-2 sub-batch.
+    the stragglers continue in a compact power-of-2 sub-batch. Default 3
+    (0 disables): the warm start concentrates most grids below 3
+    iterations, which is exactly what the exit monetizes — the measured
+    1.06-1.79x wall-time wins over the flat start all use it (ROADMAP
+    #8). solve_batched keeps lock-step as ITS default because a flat
+    start's iteration spread sits above useful compaction points.
 
     fallback_flat: Newton is only locally convergent — a bad prediction
     can leave the basin of attraction on grids a flat start solves

@@ -33,19 +33,19 @@ Variant checkpoints (tools/train_pretrained_extras.py):
 Paper-physics checkpoints ("{c}-paper", tools/train_pretrained.py
 --physics paper; textbook residual + the quirk-Q8 fix qg_gen_only): v MSE
 vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
-  c9 0.00046 | c14 0.00096* | c30 0.0258* | c118 0.00039* | c300 0.00078
+  c9 0.00046 | c14 0.00096* | c30 0.0091* | c118 0.00039* | c300 0.00078
   (c300 at augmentation scale=0.5; see utils/augment.py).
   *case14 trains on the oracle-consistent recipe (setpoint_slack +
   true_shunts + v_anchor — its real 19 MVAr bus-9 shunt is modeled;
   1.23x better than the paper-shunt recipe).
   *case30 (authentic IEEE): the structurally hardest unsupervised
   problem shipped (true shunts + multiple power-flow branches at
-  reference-strength augmentation; ACCURACY.md). Round 3: warm-starting
-  the oracle-consistent recipe from the multi-paper generalist
-  (tools/exp_c30_specialist.py) beats round-2's cold-start 0.0552 by
-  2.1x (curriculum over augmentation scale measured 0.0310); the
-  remaining gap to the generalist itself (0.0092) is documented
-  headroom.
+  reference-strength augmentation; ACCURACY.md). Round 3 closed the
+  round-2 gap (0.0552 -> 0.0091, 6.1x): warm-start the oracle-consistent
+  recipe from the multi-paper generalist and fine-tune GENTLY (lr 1e-4 —
+  at the default 1e-3 the fine-tune leaves the generalist's
+  drift-regularized basin and lands at 0.026; curriculum over
+  augmentation scale measured 0.031; tools/exp_c30_specialist.py).
   *case118 (authentic IEEE, round 3): stiff 345 kV branches scale the
   residual ~1e4x case14's — trains ONLY with grad_clip=1.0 + warmup
   (unclipped Adam stalls at a ~5e4 plateau, v MSE 0.042-0.046); with
@@ -53,15 +53,15 @@ vs the Newton-Raphson oracle on 64 NR-feasible held-out grids —
   "300-deep-paper" (K=8, latent 40, same recipe): v MSE 0.00039.
   "multi-paper" (ONE weight set, all five cases, qg_gen_only +
   grad_clip): v MSE c9 0.00125 / c14 0.00353 / c30 0.00916 /
-  c118 0.00060 / c300 0.00089. The generalist remains the best
-  unsupervised case30 model by 2.8x: cross-case training regularizes
-  against the low-voltage-branch drift that traps the single-case
-  objective.
+  c118 0.00060 / c300 0.00089. Cross-case training regularizes against
+  the low-voltage-branch drift that traps the single-case objective —
+  the round-3 30-paper specialist only matched it by warm-starting FROM
+  it (see above).
 
 Supervised fine-tuned checkpoints (loss = NR-label supervision + 0.1 *
 physics on NR-feasible grids): per-case "{c}-sup"
 (tools/train_supervised.py --warm-start {c}-paper --export) —
-  c9 0.00040 | c14 0.00055 | c30 0.00626 | c118 0.00032 | c300 0.00063
+  c9 0.00040 | c14 0.00055 | c30 0.00606 | c118 0.00032 | c300 0.00063
   — and the round-3 accuracy flagship "multi-sup" (ONE weight set,
   tools/train_pretrained_extras.py --which multi-sup, warm-started from
   multi-paper): v MSE c9 0.00094 / c14 0.00302 / c30 0.00843 /

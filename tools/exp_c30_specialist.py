@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--eval-grids", type=int, default=64)
     ap.add_argument("--candidates", nargs="+",
                     default=["curriculum", "warm"])
+    ap.add_argument("--lr", type=float, default=None,
+                    help="fine-tuning learning rate for the warm "
+                         "candidate (default: optimizer default 1e-3; "
+                         "a gentler lr keeps the generalist's basin)")
     ap.add_argument("--export", action="store_true",
                     help="export the best candidate (if it beats the "
                          "0.0552 round-2 baseline) as 30-paper")
@@ -109,13 +113,15 @@ def main():
 
     if "warm" in args.candidates:
         t0 = time.perf_counter()
+        wcfg = cfg.replace(learning_rate=args.lr)
         warm_params, _ = load_pretrained("multi-paper")
-        state = init_train_state(jax.random.key(0), cfg)._replace(
+        state = init_train_state(jax.random.key(0), wcfg)._replace(
             params=warm_params
         )
-        best, h = train(cfg, data_full, state=state)
+        best, h = train(wcfg, data_full, state=state)
         results["warm"] = (best, {
             "candidate": "warm (from multi-paper)",
+            "lr": args.lr,
             "epochs_run": len(h),
             "train_sec": round(time.perf_counter() - t0, 1),
             "v_mse_vs_nr": round(v_mse_of(best.params), 6),
