@@ -76,6 +76,39 @@ def test_bad_warm_start_falls_back_to_flat():
     assert flat["converged"][bad].all()
 
 
+def test_device_assembly_matches_host_complex_path():
+    """_assemble_gb (real-arithmetic, on-device, scatter via static
+    endpoint indices) must reproduce the host complex128 Ybus of
+    build_nr_batch_stacked to f32 rounding — across taps, phase shifts,
+    line charging, shunts and out-of-service branches."""
+    import jax.numpy as jnp
+
+    from gns_tpu.eval.nr_batched import (
+        _assemble_gb,
+        build_nr_batch_stacked,
+        stack_cases,
+    )
+    from gns_tpu.utils.augment import generate_cases
+
+    cases = list(generate_cases(30, 5, seed=77))[1:]
+    # exercise a phase shift and an out-of-service branch explicitly
+    for c in cases:
+        c["branch"] = np.asarray(c["branch"], float).copy()
+    cases[0]["branch"][3, 9] = 7.5   # shift degrees
+    cases[1]["branch"][5, 10] = 0.0  # status off
+    bus, branch, gen, base = stack_cases(cases)
+    nb = build_nr_batch_stacked(bus, branch, gen, base)
+    f = branch[0, :, 0].astype(np.int32) - 1
+    t = branch[0, :, 1].astype(np.int32) - 1
+    g, b = _assemble_gb(
+        jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
+        jnp.asarray(base, jnp.float32), jnp.asarray(f), jnp.asarray(t),
+        has_status=True,
+    )
+    np.testing.assert_allclose(np.asarray(g), nb.gmat, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b), nb.bmat, rtol=2e-5, atol=2e-4)
+
+
 def test_stall_gate_converges_stiff_case118():
     """The authentic IEEE case118's stiff 345 kV branches (|y| ~ 250
     p.u.) put the float32 mismatch floor near/above tol=3e-5 for some
