@@ -444,6 +444,65 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
     return vm, va, conv, it, itg
 
 
+def solve_mixed(
+    cases: List[Dict],
+    tol: float = 3e-5,
+    max_iter: int = 20,
+    chunk_size: int = 256,
+    compact_after: int = 0,
+) -> Dict:
+    """Solve a HETEROGENEOUS case list: group by topology, batch per group.
+
+    `solve_batched` requires one shared topology (the augmented-set
+    contract); a production request stream mixes cases. This wrapper
+    groups by the full topology signature (bus count/types, branch
+    endpoints, generator buses), solves each group as one batched
+    program, and reassembles results in the original order. Arrays are
+    padded to the largest bus count with NaN; "n_bus" carries each
+    case's real size. One compiled program per distinct topology — a
+    steady stream over a fixed case mix reuses them all.
+    """
+    sigs: Dict[bytes, list] = {}
+    keys = []
+    for i, case in enumerate(cases):
+        bus = np.asarray(case["bus"])
+        br = np.asarray(case["branch"])
+        gen = np.asarray(case["gen"])
+        sig = b"|".join([
+            bus[:, 1].astype(np.int8).tobytes(),
+            br[:, :2].astype(np.int32).tobytes(),
+            gen[:, 0].astype(np.int32).tobytes(),
+        ])
+        sigs.setdefault(sig, []).append(i)
+        keys.append(sig)
+    n_max = max(np.asarray(c["bus"]).shape[0] for c in cases)
+    s = len(cases)
+    v = np.full((s, n_max), np.nan, np.float32)
+    th = np.full((s, n_max), np.nan, np.float32)
+    conv = np.zeros(s, bool)
+    itg = np.zeros(s, np.int32)
+    n_bus = np.zeros(s, np.int32)
+    iterations = 0
+    for idx in sigs.values():
+        sub = solve_batched(
+            [cases[i] for i in idx], tol=tol, max_iter=max_iter,
+            chunk_size=chunk_size, compact_after=compact_after,
+        )
+        n = sub["v"].shape[1]
+        ii = np.asarray(idx)
+        v[ii, :n] = sub["v"]
+        th[ii, :n] = sub["theta_deg"]
+        conv[ii] = sub["converged"]
+        itg[ii] = sub["iterations_per_grid"]
+        n_bus[ii] = n
+        iterations = max(iterations, sub["iterations"])
+    return {
+        "v": v, "theta_deg": th, "converged": conv,
+        "iterations": iterations, "iterations_per_grid": itg,
+        "n_bus": n_bus, "n_groups": len(sigs),
+    }
+
+
 def solve_batched(
     cases: List[Dict],
     tol: float = 3e-5,

@@ -76,6 +76,29 @@ def test_bad_warm_start_falls_back_to_flat():
     assert flat["converged"][bad].all()
 
 
+def test_solve_mixed_groups_heterogeneous_topologies():
+    """solve_mixed: a shuffled mix of case9/case14/case30 grids solves in
+    per-topology groups and reassembles in request order, equal to the
+    homogeneous per-case solves."""
+    from gns_tpu.eval.nr_batched import solve_mixed
+
+    c9 = _feasible_cases(9, 3, seed=1)
+    c14 = _feasible_cases(14, 3, seed=2)
+    c30 = _feasible_cases(30, 3, seed=3)
+    mixed = [c9[0], c30[0], c14[0], c14[1], c9[1], c30[1], c14[2],
+             c9[2], c30[2]]
+    out = solve_mixed(mixed)
+    assert out["n_groups"] == 3
+    assert out["converged"].all()
+    assert out["v"].shape == (9, 30)
+    ref9 = solve_batched(c9)
+    ref30 = solve_batched(c30)
+    np.testing.assert_allclose(out["v"][0, :9], ref9["v"][0], atol=1e-6)
+    np.testing.assert_allclose(out["v"][5, :30], ref30["v"][1], atol=1e-6)
+    assert np.isnan(out["v"][0, 9:]).all()  # padding beyond case9's buses
+    assert out["n_bus"].tolist() == [9, 30, 14, 14, 9, 30, 14, 9, 30]
+
+
 def test_device_assembly_matches_host_complex_path():
     """_assemble_gb (real-arithmetic, on-device, scatter via static
     endpoint indices) must reproduce the host complex128 Ybus of
