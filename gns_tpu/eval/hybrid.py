@@ -273,7 +273,7 @@ def hybrid_solve(
     return_prediction: bool = False,
     fallback_flat: bool = True,
     fused: bool = True,
-    compact_after: int = 3,
+    compact_after: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -295,12 +295,14 @@ def hybrid_solve(
     compact_after: per-grid convergence exit, forwarded to the Newton
     stage (see nr_batched.solve_batched) — after that many lock-step
     iterations the converged majority stops paying Jacobian builds and
-    the stragglers continue in a compact power-of-2 sub-batch. Default 3
-    (0 disables): the warm start concentrates most grids below 3
-    iterations, which is exactly what the exit monetizes — the measured
-    1.06-1.79x wall-time wins over the flat start all use it (ROADMAP
-    #8). solve_batched keeps lock-step as ITS default because a flat
-    start's iteration spread sits above useful compaction points.
+    the stragglers continue in a compact power-of-2 sub-batch. Default 0
+    (lock-step): on this relay the split's extra dispatch+fetch round
+    trip usually outweighs the saved Jacobian builds — a measured
+    negative (docs/HYBRID_BENCH_R3.json "best_vs_best"); it only pays
+    when the warm start collapses the ENTIRE chunk below k (zero
+    stragglers, so no second dispatch fires), and then only marginally.
+    On local hardware (no ~33 ms round trips) the tradeoff tilts back
+    toward compaction for the large cases.
 
     fallback_flat: Newton is only locally convergent — a bad prediction
     can leave the basin of attraction on grids a flat start solves
