@@ -523,10 +523,14 @@ def solve_batched(
     met tol stop paying Jacobian builds: the unconverged stragglers are
     repacked into a power-of-2 sub-batch that continues from its current
     iterates with the remaining budget. Costs one extra fetch + dispatch
-    round trip per chunk — profitable when a full-batch iteration costs
-    more than that (case118/case300 scales; see tools/bench_hybrid.py
-    --compact). "iterations" then reports k1 + the sub-batch's count (an
-    upper bound on any grid's sequential depth).
+    round trip per chunk (~70 ms on this relay) — a measured NEGATIVE in
+    most ordinary regimes (docs/HYBRID_BENCH_R3.json best_vs_best), but
+    a measured 1.35x WIN when the batch contains members that NEVER
+    converge (islanded N-1 variants, eval/contingency.py): lock-step
+    would spin the whole batch to max_iter on their account, the exit
+    quarantines them into a small sub-batch. "iterations" then reports
+    k1 + the sub-batch's count (an upper bound on any grid's sequential
+    depth).
 
     warm_start: optional (v (S, N), theta_rad (S, N)) initial guess — e.g.
     a GNS prediction (eval/hybrid.py). Only the free unknowns are seeded:
