@@ -52,6 +52,23 @@ def test_predictor_pads_and_reuses_program(model):
         pred.predict([])
 
 
+def test_predict_mixed_size_request(model):
+    """A single request mixing case9 and case14 grids takes the padded
+    masked path (no shared topology across all grids) and still matches
+    the per-grid forward for every member."""
+    c9 = list(generate_cases(9, 2, seed=51))
+    c14 = list(generate_cases(14, 2, seed=52))
+    mixed = [c9[0], c14[0], c9[1], c14[1]]
+    out = predict(model, CFG, mixed, method="scatter", align_slack=False)
+    assert out["v"].shape == (4, 14)  # padded to the larger bus count
+    for i, case in enumerate(mixed):
+        buses, lines, gens = prepare_case(case)
+        ref = gns_forward(model, CFG, buses, lines, gens, method="scatter")
+        n = buses.shape[0]
+        np.testing.assert_allclose(out["v"][i, :n], np.asarray(ref.v),
+                                   rtol=2e-5, atol=1e-5)
+
+
 def test_predictor_chunks_large_requests(model):
     """Requests larger than batch_size split into batch_size dispatches of
     the single cached program (bounded HBM + program reuse), and the
