@@ -46,6 +46,7 @@ def n1_variants(
     case: Dict,
     branch_outages: bool = True,
     gen_outages: bool = False,
+    encode_impedance: bool = False,
 ) -> List[Dict]:
     """All single-outage variants of `case` (shared-topology by design).
 
@@ -55,6 +56,14 @@ def n1_variants(
     slack generator are skipped (no reference bus, the problem is
     undefined). Each variant dict carries an "outage" key
     ("branch", i) / ("gen", i) for reporting.
+
+    encode_impedance: additionally set the outaged branch's r=x=1e6, b=0.
+    The Newton solution is unchanged (status already zeroes its
+    admittance), but the outage becomes VISIBLE to the GNS: its input
+    schema has no status column, and in admittance space
+    (GNSConfig.admittance_inputs) the encoding is a well-scaled zero —
+    the representation the outage-aware models are trained on
+    (tools/exp_outage_aware.py).
     """
     out = []
     if branch_outages:
@@ -64,6 +73,10 @@ def n1_variants(
             if v["branch"].shape[1] <= 10:
                 raise ValueError("case branch table has no status column")
             v["branch"][i, 10] = 0.0
+            if encode_impedance:
+                v["branch"][i, 2] = 1e6
+                v["branch"][i, 3] = 1e6
+                v["branch"][i, 4] = 0.0
             v["outage"] = ("branch", i)
             out.append(v)
     if gen_outages:
@@ -90,6 +103,7 @@ def screen_n1(
     warm: str = "base",
     params=None,
     cfg: Optional[GNSConfig] = None,
+    encode_impedance: bool = False,
     v_limits=(0.94, 1.06),
 ) -> Dict:
     """Screen every single outage of `case`; one batched dispatch.
@@ -127,7 +141,10 @@ def screen_n1(
       "worst":         indices of non-converged + violating contingencies,
     }
     """
-    variants = n1_variants(case, branch_outages, gen_outages)
+    variants = n1_variants(
+        case, branch_outages, gen_outages,
+        encode_impedance=encode_impedance,
+    )
     if not variants:
         raise ValueError("no contingencies to screen")
     from gns_tpu.eval.nr_batched import solve_batched

@@ -246,12 +246,12 @@ def gns_machinery(
         raise ValueError("edge-partitioned execution requires reference_parity=False")
     if cfg.reference_parity and (
         cfg.qg_gen_only or cfg.dispatch != "lambda" or cfg.slack_anchor
-        or cfg.v_anchor or cfg.true_shunts
+        or cfg.v_anchor or cfg.true_shunts or cfg.admittance_inputs
     ):
         raise ValueError(
             "qg_gen_only / dispatch='setpoint_slack' / slack_anchor / "
-            "v_anchor / true_shunts are paper-mode options: set "
-            "reference_parity=False (utils/config.py)"
+            "v_anchor / true_shunts / admittance_inputs are paper-mode "
+            "options: set reference_parity=False (utils/config.py)"
         )
 
     def _psum(x):
@@ -323,6 +323,16 @@ def gns_machinery(
 
     dst = lines[:, 1].astype(jnp.int32) - 1 if topo is None else topo.dst
     line_feats = lines[:, 2:7]
+    if cfg.admittance_inputs:
+        # paper-mode message representation in admittance space: an
+        # out-of-service line (encoded r=x=1e6) becomes a well-scaled 0
+        # instead of an off-distribution huge impedance (utils/config.py)
+        r_l, x_l = lines[:, 2], lines[:, 3]
+        denom = r_l * r_l + x_l * x_l
+        line_feats = jnp.stack(
+            [r_l / denom, -x_l / denom, lines[:, 4], lines[:, 5],
+             lines[:, 6]], axis=1,
+        )
     # PV-freeze mask: buses hosting any (real) generator keep their v.
     is_gen = agg0[:, 3] > 0
 

@@ -199,6 +199,40 @@ _PRETRAINED["14-sup"] = (
 )
 
 
+# "{c}-n1" — outage-aware models (tools/exp_outage_aware.py): admittance-
+# space message features (GNSConfig.admittance_inputs) + training on
+# grids with randomly outaged branches encoded as r=x=1e6, b=0 (a
+# well-scaled zero in admittance space; eval/contingency.py
+# encode_impedance). The first model family that can SEE an N-1
+# contingency — the reference's raw-impedance schema cannot represent
+# one. Measured (64 held-out outaged grids, v MSE vs the
+# post-contingency NR solution, vs the blind {c}-paper fed the intact
+# grid — the best a status-blind schema can do):
+#   case14: aware 0.00127 vs blind 0.00223 (1.76x; severest-quartile
+#   outages 2.38x), at zero cost on the ordinary task (0.000937 vs
+#   0.000964 on non-outaged grids).
+#   case118: an honest NEGATIVE — blind 0.000413 beats aware 0.000496,
+#   even on the severest quartile (0.94x): case118 is so meshed that
+#   single-outage voltage shifts (severity p90 6.7e-5 p.u.^2) sit BELOW
+#   both models' error floor (~4e-4), so there is no outage signal to
+#   exploit. Outage-awareness pays exactly when outage severity exceeds
+#   the model floor (case14 p90 severity 4.4e-3 >> floor 1e-3). The
+#   118-n1 checkpoint ships as the stressed-network demonstrator with
+#   this caveat.
+_PRETRAINED["14-n1"] = (
+    "pretrained_c14_K4_L20_H10_n1.pth",
+    dict(case_nr=14, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         admittance_inputs=True, **_BEST),
+)
+_PRETRAINED["118-n1"] = (
+    "pretrained_c118_K4_L20_H10_n1.pth",
+    dict(case_nr=118, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         admittance_inputs=True, grad_clip=1.0, warmup_steps=300, **_BEST),
+)
+
+
 def available_cases():
     """Registry keys with a shipped checkpoint actually present on disk
     (ints for the per-case checkpoints, then string variant names)."""

@@ -88,6 +88,20 @@ class GNSConfig:
     # Data-prep surfaces thread `paper_shunts=not cfg.true_shunts`;
     # reference-parity mode must keep the default (False) for bit parity.
     true_shunts: bool = False
+    # Admittance-space message features (paper mode): the learned message
+    # MLPs see (g, b_series, b, tau, shift) with g = r/(r^2+x^2),
+    # b_series = -x/(r^2+x^2) instead of raw (r, x, b, tau, shift). The
+    # reference feeds raw impedances (GNS/utils.py:29-33), which makes an
+    # out-of-service branch UNREPRESENTABLE in-distribution (there is no
+    # r/x value meaning "no line"; the schema has no status column). In
+    # admittance space an outage is a well-scaled zero: encode it as
+    # r=x=1e6, b=0 (eval/contingency.py encode_impedance) and both the
+    # learned messages AND the physics residual (which always consumes
+    # raw r/x/b and sees admittance ~0) model the outage consistently —
+    # the basis of the outage-aware N-1 models
+    # (tools/exp_outage_aware.py). Physics/parity are untouched: only the
+    # MLP input representation changes.
+    admittance_inputs: bool = False
     # Weak high-voltage-branch tie-breaker: adds
     #   v_anchor * gamma^(K-k) * sum_nongen((v - 1)^2) / N
     # per step. The AC power-flow residual is solution-branch-agnostic —

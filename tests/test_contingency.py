@@ -67,6 +67,55 @@ def test_screen_n1_warm_started_matches_flat():
     np.testing.assert_allclose(warm["v"][ok], flat["v"][ok], atol=5e-4)
 
 
+def test_encode_impedance_keeps_newton_solution():
+    """encode_impedance rewrites the outaged branch to r=x=1e6, b=0 so
+    the GNS can see it; the Newton solution must be IDENTICAL to the
+    status-only variant (status already zeroes the admittance)."""
+    from gns_tpu.eval.nr_batched import solve_batched
+
+    case = load_case(14)
+    plain = n1_variants(case)[:5]
+    enc = n1_variants(case, encode_impedance=True)[:5]
+    a = solve_batched(plain)
+    b = solve_batched(enc)
+    np.testing.assert_array_equal(a["converged"], b["converged"])
+    ok = a["converged"]
+    np.testing.assert_allclose(b["v"][ok], a["v"][ok], atol=1e-6)
+
+
+def test_admittance_inputs_change_messages_not_physics():
+    """GNSConfig.admittance_inputs transforms ONLY the message-MLP input
+    representation: with an outaged branch encoded r=x=1e6 the residual
+    (physics, raw r/x/b) is finite and the forward differs from the raw-
+    feature forward; parity mode must reject the knob."""
+    import jax
+    import pytest as _pytest
+
+    from gns_tpu.models.gns import gns_forward, init_gns_params
+    from gns_tpu.utils.config import GNSConfig
+    from gns_tpu.utils.prepare import prepare_case
+
+    case = n1_variants(load_case(14), encode_impedance=True)[0]
+    cfg = GNSConfig(K=2, latent_dim=8, hidden_dim=8,
+                    reference_parity=False, qg_gen_only=True,
+                    admittance_inputs=True)
+    params = init_gns_params(jax.random.key(0), cfg)
+    buses, lines, gens = prepare_case(case, paper_shunts=False)
+    out = gns_forward(params, cfg, buses, lines, gens, method="scatter")
+    assert np.isfinite(float(out.total_loss))
+    raw = gns_forward(params, cfg.replace(admittance_inputs=False),
+                      buses, lines, gens, method="scatter")
+    assert not np.allclose(np.asarray(out.v), np.asarray(raw.v))
+
+    with _pytest.raises(ValueError):
+        gns_forward(
+            params,
+            GNSConfig(K=2, latent_dim=8, hidden_dim=8,
+                      reference_parity=True, admittance_inputs=True),
+            buses, lines, gens, method="scatter",
+        )
+
+
 def test_n1_variants_reject_missing_status_column():
     case = load_case(14)
     case = dict(case)
