@@ -52,6 +52,7 @@ def test_variant_checkpoints_load():
     variants = [
         ("300-deep", 300, 1.0), ("multi", 14, 1.0),
         ("300-deep-paper", 300, 0.5), ("multi-paper", 14, 1.0),
+        ("multi-sup", 14, 1.0), ("14-n1", 14, 1.0), ("118-n1", 118, 1.0),
     ] + [
         (f"{c}-paper", c, 0.5 if c == 300 else 1.0)
         for c in (9, 14, 30, 118, 300)
