@@ -6,10 +6,14 @@ re-solve the system with each element knocked out and check the
 post-contingency state. The reference has no such surface; here it falls
 out of the batched solver's design: an outage only zeroes the branch (or
 generator) STATUS column, leaving the endpoint index arrays untouched —
-so all N-1 variants of one case share topology and solve as ONE batched
-Newton program (`eval/nr_batched.py`: on-device admittance assembly,
-packed single-fetch outputs), optionally warm-started by the GNS
-prediction through the fused hybrid (`eval/hybrid.py`).
+so N-1 variants of one case share topology and solve as ONE batched
+Newton program per bus-type group (`eval/nr_batched.py`: on-device
+admittance assembly, packed single-fetch outputs), optionally
+warm-started by the GNS prediction through the fused hybrid
+(`eval/hybrid.py`). Branch outages never change bus types (one
+dispatch); gen outages that strip a bus of its last in-service generator
+convert it PV -> PQ (pypower bustypes semantics) and solve as their own
+small groups.
 
 Islanding is handled honestly: removing a bridge branch disconnects part
 of the network, the Jacobian goes singular, and the solve reports that
@@ -47,6 +51,7 @@ def n1_variants(
     branch_outages: bool = True,
     gen_outages: bool = False,
     encode_impedance: bool = False,
+    gen_pq_conversion: bool = True,
 ) -> List[Dict]:
     """All single-outage variants of `case` (shared-topology by design).
 
@@ -56,6 +61,16 @@ def n1_variants(
     slack generator are skipped (no reference bus, the problem is
     undefined). Each variant dict carries an "outage" key
     ("branch", i) / ("gen", i) for reporting.
+
+    gen_pq_conversion (default True): a bus whose LAST in-service
+    generator is outaged loses voltage control — pypower/MATPOWER's
+    bustypes converts it from PV to PQ, and the variant here does the
+    same (solving it as PV would hold the set-point magnitude with
+    implicit unbounded reactive support, systematically understating
+    post-contingency voltage sag near the lost unit). These variants
+    carry DIFFERENT bus types than the rest, so screen_n1 groups them
+    into their own batched solve (the solve_mixed grouping pattern) —
+    the shared-topology contract holds per group.
 
     encode_impedance: additionally set the outaged branch's r=x=1e6, b=0.
     The Newton solution is unchanged (status already zeroes its
@@ -81,13 +96,27 @@ def n1_variants(
             out.append(v)
     if gen_outages:
         bus = np.asarray(case["bus"])
+        gen = np.asarray(case["gen"], np.float64)
         slack_bus = int(bus[np.flatnonzero(bus[:, 1] == 3)[0], 0])
-        for i in range(np.asarray(case["gen"]).shape[0]):
-            if int(np.asarray(case["gen"])[i, 0]) == slack_bus:
+        gstat = gen[:, 7] if gen.shape[1] > 7 else np.ones(gen.shape[0])
+        for i in range(gen.shape[0]):
+            gbus = int(gen[i, 0])
+            if gbus == slack_bus:
                 continue  # removing the slack leaves no reference bus
             v = copy.deepcopy(case)
-            v["gen"] = np.asarray(v["gen"], np.float64).copy()
+            v["gen"] = gen.copy()
             v["gen"][i, 7] = 0.0
+            if gen_pq_conversion and gstat[i] > 0:
+                others_on = (
+                    (gen[:, 0].astype(int) == gbus) & (gstat > 0)
+                ).sum() > 1
+                if not others_on:
+                    v["bus"] = np.asarray(v["bus"], np.float64).copy()
+                    row = np.flatnonzero(
+                        v["bus"][:, 0].astype(int) == gbus
+                    )[0]
+                    if int(v["bus"][row, 1]) == 2:  # PV -> PQ
+                        v["bus"][row, 1] = 1.0
             v["outage"] = ("gen", i)
             out.append(v)
     return out
@@ -104,6 +133,7 @@ def screen_n1(
     params=None,
     cfg: Optional[GNSConfig] = None,
     encode_impedance: bool = False,
+    gen_pq_conversion: bool = True,
     v_limits=(0.94, 1.06),
 ) -> Dict:
     """Screen every single outage of `case`; one batched dispatch.
@@ -133,69 +163,107 @@ def screen_n1(
       "v_min"/"v_max": (C,) per-contingency extremes (converged only;
                        NaN otherwise),
       "v_violations":  (C,) int — PQ (load) buses outside v_limits per
-                       contingency. Generator-bus magnitudes are
-                       SET-POINTS held by the solver, not solved values
-                       (the stock case14 pins Vg=1.09 above its own 1.06
-                       limit), so only load buses can meaningfully
-                       violate,
+                       contingency, using each VARIANT's own bus types
+                       (a PV bus converted to PQ by its generator's
+                       outage counts — its magnitude is now a solved
+                       value, the sag the screen exists to catch).
+                       Remaining generator-bus magnitudes are SET-POINTS
+                       held by the solver, not solved values (the stock
+                       case14 pins Vg=1.09 above its own 1.06 limit), so
+                       only load buses can meaningfully violate,
       "worst":         indices of non-converged + violating contingencies,
     }
+
+    Gen-outage variants whose bus lost its last in-service generator are
+    converted PV -> PQ (pypower bustypes semantics; see n1_variants) —
+    they carry different bus types, so the screen groups variants by
+    bus-type signature and runs one batched dispatch per group (the
+    solve_mixed pattern; branch outages all share the base types, so the
+    common branch-only screen stays a single dispatch).
     """
     variants = n1_variants(
         case, branch_outages, gen_outages,
         encode_impedance=encode_impedance,
+        gen_pq_conversion=gen_pq_conversion,
     )
     if not variants:
         raise ValueError("no contingencies to screen")
     from gns_tpu.eval.nr_batched import solve_batched
 
-    if params is not None:
-        if cfg is None:
-            raise ValueError("cfg is required when params are given")
-        from gns_tpu.eval.hybrid import hybrid_solve
+    if params is not None and cfg is None:
+        raise ValueError("cfg is required when params are given")
+    if params is None and warm not in ("base", "flat"):
+        raise ValueError(f"warm must be 'base' or 'flat', got {warm!r}")
 
-        res = hybrid_solve(
-            params, cfg, variants, tol=tol, max_iter=max_iter,
-            chunk_size=len(variants), compact_after=compact_after,
-            fallback_flat=False,
-        )
-    else:
-        warm_start = None
-        if warm == "base":
-            base = solve_batched([case], tol=tol, max_iter=max_iter)
-            if base["converged"][0]:
-                s = len(variants)
-                warm_start = (
-                    np.repeat(base["v"], s, axis=0),
-                    np.repeat(np.deg2rad(base["theta_deg"]), s, axis=0),
-                )
-        elif warm != "flat":
-            raise ValueError(f"warm must be 'base' or 'flat', got {warm!r}")
-        res = solve_batched(
-            variants, tol=tol, max_iter=max_iter,
-            chunk_size=len(variants), compact_after=compact_after,
-            warm_start=warm_start,
-        )
-    conv = np.asarray(res["converged"], bool)
-    v = np.asarray(res["v"], np.float32)
-    lo, hi = v_limits
+    # group by bus-type signature (shared-topology contract holds per
+    # group; one group total unless gen_pq_conversion fires)
+    sigs: Dict[bytes, list] = {}
+    for i, va in enumerate(variants):
+        key = np.asarray(va["bus"])[:, 1].astype(np.int8).tobytes()
+        sigs.setdefault(key, []).append(i)
+
+    base_sol = None
+    if params is None and warm == "base":
+        base = solve_batched([case], tol=tol, max_iter=max_iter)
+        if base["converged"][0]:
+            base_sol = (base["v"], np.deg2rad(base["theta_deg"]))
+
     c = len(variants)
+    n = np.asarray(case["bus"]).shape[0]
+    conv = np.zeros(c, bool)
+    v = np.full((c, n), np.nan, np.float32)
+    theta = np.full((c, n), np.nan, np.float32)
+    itg = np.zeros(c, np.int32)
+    for idx in sigs.values():
+        group = [variants[i] for i in idx]
+        if params is not None:
+            from gns_tpu.eval.hybrid import hybrid_solve
+
+            res = hybrid_solve(
+                params, cfg, group, tol=tol, max_iter=max_iter,
+                chunk_size=len(group), compact_after=compact_after,
+                fallback_flat=False,
+            )
+        else:
+            warm_start = None
+            if base_sol is not None:
+                s = len(group)
+                warm_start = (
+                    np.repeat(base_sol[0], s, axis=0),
+                    np.repeat(base_sol[1], s, axis=0),
+                )
+            res = solve_batched(
+                group, tol=tol, max_iter=max_iter,
+                chunk_size=len(group), compact_after=compact_after,
+                warm_start=warm_start,
+            )
+        ii = np.asarray(idx)
+        conv[ii] = res["converged"]
+        v[ii] = res["v"]
+        theta[ii] = res["theta_deg"]
+        itg[ii] = res["iterations_per_grid"]
+
+    lo, hi = v_limits
     v_min = np.full(c, np.nan, np.float32)
     v_max = np.full(c, np.nan, np.float32)
     if conv.any():
         v_min[conv] = v[conv].min(axis=1)
         v_max[conv] = v[conv].max(axis=1)
-    is_pq = np.asarray(case["bus"])[:, 1] == 1
+    # per-VARIANT load-bus mask: a PQ-converted bus is a solved magnitude
+    # in its own variant and must count toward violations there
+    is_pq = np.stack(
+        [np.asarray(va["bus"])[:, 1] == 1 for va in variants]
+    )
     viol = np.where(
-        conv, (((v < lo) | (v > hi)) & is_pq[None, :]).sum(axis=1), 0
+        conv, (((v < lo) | (v > hi)) & is_pq).sum(axis=1), 0
     ).astype(np.int32)
     worst = np.flatnonzero(~conv | (viol > 0))
     return {
         "outages": [va["outage"] for va in variants],
         "converged": conv,
-        "iterations_per_grid": np.asarray(res["iterations_per_grid"]),
+        "iterations_per_grid": itg,
         "v": v,
-        "theta_deg": np.asarray(res["theta_deg"], np.float32),
+        "theta_deg": theta,
         "v_min": v_min,
         "v_max": v_max,
         "v_violations": viol,

@@ -50,6 +50,7 @@ import jax.numpy as jnp
 
 from gns_tpu.eval.nr_batched import (
     _assemble_gb,
+    _cache_put,
     _nr_core,
     _nr_solve,
     _pack_solution,
@@ -63,7 +64,9 @@ from gns_tpu.utils.prepare import GridTopology
 
 # compiled fused programs, keyed by (cfg, method, shapes, slack, max_iter,
 # topology fingerprint) — module-level so repeated hybrid_solve calls (and
-# bench warm/timed passes) reuse the program like GNSPredictor does
+# bench warm/timed passes) reuse the program like GNSPredictor does.
+# Bounded via nr_batched._cache_put (oldest-entry eviction) so a varied
+# long-lived request stream cannot grow it without bound.
 _FUSED_CACHE: Dict[tuple, object] = {}
 
 
@@ -139,17 +142,17 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
         # same raw stacks the forward consumed (nr_batched._assemble_gb) —
         # it never crosses the ~17 MB/s host boundary
         gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
-        vm, va, conv, it, itg = _nr_solve(
+        vm, va, conv, it, itg, fmax = _nr_solve(
             gmat, bmat, p_sched, q_sched, vm_w, va_w, pvpq, pq,
             tol=tol, max_iter=max_iter,
         )
-        packed = _pack_solution(vm, va, conv, it, itg)
+        packed = _pack_solution(vm, va, conv, it, itg, fmax)
         if return_pred:
             return packed, v, theta
         return packed
 
     fn = jax.jit(run)
-    _FUSED_CACHE[key] = fn
+    _cache_put(_FUSED_CACHE, key, fn)
     return fn
 
 
@@ -207,7 +210,7 @@ def _hybrid_solve_fused(
             (out, k, bus, branch, base, ns, topo, has_status, k1)
         )
 
-    vms, vas, convs, its, itgs = [], [], [], [], []
+    vms, vas, convs, its, itgs, fms = [], [], [], [], [], []
     pv, pth = [], []
     for out, k, bus, branch, base, ns, topo, has_status, k1 in pending:
         n = bus.shape[1]
@@ -237,22 +240,28 @@ def _hybrid_solve_fused(
             packed[bad, :2 * n] = p2[:, :2 * n]
             packed[bad, 2 * n] = p2[:, 2 * n]
             packed[bad, 2 * n + 2] = k1 + p2[:, 2 * n + 2]
+            packed[bad, 2 * n + 3] = p2[:, 2 * n + 3]
             it_chunk += int(p2[0, 2 * n + 1])
         vms.append(packed[:k, :n])
         vas.append(packed[:k, n:2 * n])
         convs.append(packed[:k, 2 * n] > 0.5)
         its.append(it_chunk)
         itgs.append(packed[:k, 2 * n + 2].astype(np.int32))
+        fms.append(packed[:k, 2 * n + 3])
         if return_pred:
             pv.append(np.asarray(out[1])[:k])
             pth.append(np.asarray(out[2])[:k])
+    conv_all = np.concatenate(convs)
+    mismatch = np.concatenate(fms).astype(np.float32)
     res = {
         "v": np.concatenate(vms).astype(np.float32),
         "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
-        "converged": np.concatenate(convs),
+        "converged": conv_all,
         "iterations": max(its),
         "iterations_per_chunk": its,
         "iterations_per_grid": np.concatenate(itgs),
+        "mismatch": mismatch,
+        "stalled": conv_all & (mismatch >= tol),
     }
     if return_pred:
         res["gns_v"] = np.concatenate(pv).astype(np.float32)
@@ -344,6 +353,17 @@ def hybrid_solve(
         out["v"][bad] = flat["v"]
         out["theta_deg"][bad] = flat["theta_deg"]
         out["converged"][bad] = flat["converged"]
+        if "mismatch" in out:
+            out["mismatch"][bad] = flat["mismatch"]
+            out["stalled"][bad] = flat["stalled"]
+        # per-grid sequential depth for fallback grids = the failed warm
+        # attempt (max_iter) PLUS the fallback's own count, so the
+        # diagnostic consumed by bench_hybrid and the compaction heuristic
+        # reflects what those grids actually cost
+        out["iterations_per_grid"] = np.asarray(
+            out["iterations_per_grid"]
+        ).copy()
+        out["iterations_per_grid"][bad] += flat["iterations_per_grid"]
         # the fallback re-solve is SEQUENTIAL work on top of the warm
         # attempt, not an alternative to it: report it separately so the
         # hybrid's cost is never understated when the fallback fires

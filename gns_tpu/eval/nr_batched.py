@@ -281,18 +281,34 @@ def _assemble_gb(bus, branch, base, f, t, has_status: bool):
 
 
 # jitted end-to-end cores, keyed by (endpoint topology, shapes, max_iter)
-# — module-level so every solve_batched / bench call reuses the program
+# — module-level so every solve_batched / bench call reuses the program.
+# Bounded: a long-lived serving process over a varied solve_mixed stream
+# accumulates one compiled program per distinct (topology, chunk shape);
+# evicting the oldest entry past the cap keeps steady-state memory flat
+# (the XLA executable itself persists in the on-disk compilation cache, so
+# re-admission after eviction costs a cache load, not a recompile).
 _CORE_CACHE: Dict[tuple, object] = {}
+_CACHE_CAP = 64
 
 
-def _pack_solution(vm, va, conv, it, itg):
-    """[vm | va | conv | iters | iters_per_grid] -> (S, 2N+3) float32.
-    ONE packed output -> ONE host fetch (each fetch is a full relay round
-    trip)."""
+def _cache_put(cache: Dict[tuple, object], key: tuple, fn) -> None:
+    """Insert with oldest-entry eviction past _CACHE_CAP (dicts preserve
+    insertion order; good enough for the one-program-per-topology serving
+    contract without an LRU dependency)."""
+    while len(cache) >= _CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = fn
+
+
+def _pack_solution(vm, va, conv, it, itg, fmax):
+    """[vm | va | conv | iters | iters_per_grid | mismatch] -> (S, 2N+4)
+    float32. ONE packed output -> ONE host fetch (each fetch is a full
+    relay round trip)."""
     return jnp.concatenate(
         [vm, va, conv[:, None].astype(jnp.float32),
          jnp.broadcast_to(it.astype(jnp.float32), (vm.shape[0], 1)),
-         itg[:, None].astype(jnp.float32)],
+         itg[:, None].astype(jnp.float32),
+         fmax[:, None].astype(jnp.float32)],
         axis=1,
     )
 
@@ -308,21 +324,26 @@ def _nr_core(f: np.ndarray, t: np.ndarray, shapes: tuple, has_status: bool):
     def run(bus, branch, base, p_sched, q_sched, vm0, va0, pvpq, pq, tol,
             max_iter):
         gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
-        vm, va, conv, it, itg = _nr_solve(
+        vm, va, conv, it, itg, fmax = _nr_solve(
             gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
             tol=tol, max_iter=max_iter,
         )
-        return _pack_solution(vm, va, conv, it, itg)
+        return _pack_solution(vm, va, conv, it, itg, fmax)
 
     fn = jax.jit(run)
-    _CORE_CACHE[key] = fn
+    _cache_put(_CORE_CACHE, key, fn)
     return fn
 
 
-# Stalled-at-floor acceptance cap: a grid whose mismatch is below this
-# (0.03 MW on a 100 MVA base — 2-3 orders under GNS model error) and no
-# longer making Newton progress is accepted as converged at its
-# float32-attainable iterate. See the gate comment in _nr_solve's body.
+# Stalled-at-floor acceptance cap: a grid whose mismatch is below
+# min(_STALL_TOL, 10*tol) (0.03 MW on a 100 MVA base at the default tol —
+# 2-3 orders under GNS model error) and no longer making Newton progress
+# is accepted as converged at its float32-attainable iterate. Scaling with
+# tol keeps the contract honest for strict callers: at tol=1e-6 the cap is
+# 1e-5, so a grid stalled at 3e-4 is REPORTED non-converged rather than
+# silently accepted. Stall-accepted grids (converged with final mismatch
+# >= tol) are distinguishable via solve_batched's "stalled" mask. See the
+# gate comment in _nr_solve's body.
 _STALL_TOL = 3e-4
 
 
@@ -336,10 +357,12 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
     compaction path re-enters with a remaining-budget bound without
     recompiling.
 
-    Returns (vm, va, conv, iters, iters_per_grid) — iters_per_grid is the
-    iteration at which each grid first met tol (== iters for stragglers),
-    the per-grid diagnostic behind bench_hybrid's distribution rows and
-    the compaction heuristic."""
+    Returns (vm, va, conv, iters, iters_per_grid, mismatch) —
+    iters_per_grid is the iteration at which each grid first met tol
+    (== iters for stragglers), the per-grid diagnostic behind
+    bench_hybrid's distribution rows and the compaction heuristic;
+    mismatch is each grid's final max |f| (p.u.), which lets callers
+    separate tol-converged grids from stall-accepted ones."""
     n = vm0.shape[1]
     n_pvpq = pvpq.shape[0]
     eye = jnp.eye(n, dtype=vm0.dtype)
@@ -418,30 +441,35 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
         # being cancelled — the authentic IEEE case118's stiff 345 kV
         # branches (x down to 0.00405 -> |y| ~ 250 p.u.) put it at
         # ~2.5e-5, above a 3e-5 tol for some draws. A grid whose mismatch
-        # is small (< _STALL_TOL, 0.03 MW on a 100 MVA base) and no longer
-        # making Newton progress (not shrinking by 30%/iteration — in the
-        # quadratic regime it shrinks by orders of magnitude) has reached
-        # its f32-attainable iterate; more lock-step iterations cannot
-        # improve it and only gate the rest of the batch.
+        # is small (< min(_STALL_TOL, 10*tol) — the cap scales with the
+        # caller's tol so strict tolerances are not silently relaxed) and
+        # no longer making Newton progress (not shrinking by 30%/iteration
+        # — in the quadratic regime it shrinks by orders of magnitude) has
+        # reached its f32-attainable iterate; more lock-step iterations
+        # cannot improve it and only gate the rest of the batch.
+        stall_cap = jnp.minimum(_STALL_TOL, 10.0 * tol)
         now = jnp.logical_or(
             fmax < tol,
-            jnp.logical_and(fmax < _STALL_TOL, fmax > 0.7 * fprev),
+            jnp.logical_and(fmax < stall_cap, fmax > 0.7 * fprev),
         )
         itg = jnp.where(now & ~conv, it + 1, itg)
         conv = jnp.logical_or(conv, now)
         return vm, va, conv, it + 1, itg, fmax
 
     _, _, p0, q0 = trig_terms(vm0, va0)
-    conv0 = jnp.max(jnp.abs(f_of(p0, q0)), axis=1) < tol
+    fmax0 = jnp.max(jnp.abs(f_of(p0, q0)), axis=1)
+    conv0 = fmax0 < tol
     it0 = jnp.asarray(0, jnp.int32)
     itg0 = jnp.zeros(vm0.shape[0], jnp.int32)
-    fprev0 = jnp.full(vm0.shape[0], jnp.inf, vm0.dtype)
-    vm, va, conv, it, itg, _ = jax.lax.while_loop(
-        cond, body, (vm0, va0, conv0, it0, itg0, fprev0)
+    # seed the progress tracker with the INITIAL mismatch so (a) the first
+    # stall test compares against it and (b) a batch that converges before
+    # the loop runs still reports a real final mismatch
+    vm, va, conv, it, itg, fmax = jax.lax.while_loop(
+        cond, body, (vm0, va0, conv0, it0, itg0, fmax0)
     )
     # stragglers that never met tol carry the full iteration count
     itg = jnp.where(conv, itg, it)
-    return vm, va, conv, it, itg
+    return vm, va, conv, it, itg, fmax
 
 
 def solve_mixed(
@@ -482,6 +510,8 @@ def solve_mixed(
     conv = np.zeros(s, bool)
     itg = np.zeros(s, np.int32)
     n_bus = np.zeros(s, np.int32)
+    mismatch = np.zeros(s, np.float32)
+    stalled = np.zeros(s, bool)
     iterations = 0
     for idx in sigs.values():
         sub = solve_batched(
@@ -494,11 +524,14 @@ def solve_mixed(
         th[ii, :n] = sub["theta_deg"]
         conv[ii] = sub["converged"]
         itg[ii] = sub["iterations_per_grid"]
+        mismatch[ii] = sub["mismatch"]
+        stalled[ii] = sub["stalled"]
         n_bus[ii] = n
         iterations = max(iterations, sub["iterations"])
     return {
         "v": v, "theta_deg": th, "converged": conv,
         "iterations": iterations, "iterations_per_grid": itg,
+        "mismatch": mismatch, "stalled": stalled,
         "n_bus": n_bus, "n_groups": len(sigs),
     }
 
@@ -511,7 +544,11 @@ def solve_batched(
     warm_start=None,
     compact_after: int = 0,
 ) -> Dict:
-    """Solve every case; returns {"v", "theta_deg", "converged", "iterations"}.
+    """Solve every case; returns {"v", "theta_deg", "converged",
+    "iterations", "iterations_per_grid", "mismatch", "stalled", ...}.
+    "stalled" marks grids accepted at the float32 mismatch floor (final
+    mismatch in [tol, min(3e-4, 10*tol)) with Newton progress stalled)
+    rather than strictly below tol — converged=True is the union.
 
     Chunks the batch so the dense (chunk, N, N) G/B matrices stay small
     (case300 at 256 grids is ~184 MB). Non-converged grids keep their last
@@ -575,7 +612,7 @@ def solve_batched(
         )
         pending.append((dev, bus, branch, base, ns, f, t, has_status, k1))
 
-    vms, vas, convs, its, itgs = [], [], [], [], []
+    vms, vas, convs, its, itgs, fms = [], [], [], [], [], []
     for dev, bus, branch, base, ns, f, t, has_status, k1 in pending:
         n = bus.shape[1]
         packed = np.array(dev)
@@ -609,20 +646,28 @@ def solve_batched(
             packed[bad, :2 * n] = p2[:, :2 * n]
             packed[bad, 2 * n] = p2[:, 2 * n]
             packed[bad, 2 * n + 2] = k1 + p2[:, 2 * n + 2]
+            packed[bad, 2 * n + 3] = p2[:, 2 * n + 3]
             it_chunk += int(p2[0, 2 * n + 1])
         vms.append(packed[:, :n])
         vas.append(packed[:, n:2 * n])
         convs.append(packed[:, 2 * n] > 0.5)
         its.append(it_chunk)
         itgs.append(packed[:, 2 * n + 2].astype(np.int32))
+        fms.append(packed[:, 2 * n + 3])
+    conv_all = np.concatenate(convs)
+    mismatch = np.concatenate(fms).astype(np.float32)
     return {
         "v": np.concatenate(vms).astype(np.float32),
         "theta_deg": np.rad2deg(np.concatenate(vas)).astype(np.float32),
-        "converged": np.concatenate(convs),
+        "converged": conv_all,
         "iterations": max(its),
         # per-chunk counts so callers (bench_hybrid, hybrid_solve) can
         # audit where the lock-step while_loop spent its iterations
         "iterations_per_chunk": its,
         # iteration at which each grid individually met tol
         "iterations_per_grid": np.concatenate(itgs),
+        # each grid's final max |f| (p.u.) — lets callers separate
+        # tol-converged grids from stall-accepted ones ("stalled" below)
+        "mismatch": mismatch,
+        "stalled": conv_all & (mismatch >= tol),
     }

@@ -32,17 +32,12 @@ def test_screen_n1_case14_flags_islanding_and_matches_oracle():
     # everything else converges
     assert rep["converged"].sum() == 23
 
-    # spot-check two converged contingencies against the f64 oracle
+    # spot-check two converged contingencies against the f64 oracle,
+    # solving the ACTUAL variant dicts (a gen-outage variant may carry a
+    # PV->PQ converted bus; the oracle must see the same bus types)
+    variants = n1_variants(case, gen_outages=True)
     for i in (0, 21):
-        c2 = copy.deepcopy(case)
-        kind, idx = rep["outages"][i]
-        if kind == "branch":
-            c2["branch"] = np.asarray(c2["branch"], float).copy()
-            c2["branch"][idx, 10] = 0.0
-        else:
-            c2["gen"] = np.asarray(c2["gen"], float).copy()
-            c2["gen"][idx, 7] = 0.0
-        r = newton_raphson_pf(c2)
+        r = newton_raphson_pf(variants[i])
         assert r.success
         np.testing.assert_allclose(rep["v"][i], r.vm, atol=2e-5)
 
@@ -114,6 +109,47 @@ def test_admittance_inputs_change_messages_not_physics():
                       reference_parity=True, admittance_inputs=True),
             buses, lines, gens, method="scatter",
         )
+
+
+def test_gen_outage_pq_conversion():
+    """A bus whose last in-service generator is outaged converts PV -> PQ
+    (pypower bustypes semantics): its magnitude becomes a SOLVED value
+    and sags below the lost set-point, instead of being held with
+    implicit unbounded reactive support. In case14 every non-slack PV bus
+    has exactly one generator, so all 4 gen outages convert."""
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    case = load_case(14)
+    gen = np.asarray(case["gen"])
+    conv_vs = n1_variants(case, branch_outages=False, gen_outages=True)
+    held_vs = n1_variants(
+        case, branch_outages=False, gen_outages=True,
+        gen_pq_conversion=False,
+    )
+    assert len(conv_vs) == 4
+    for conv_v, held_v in zip(conv_vs, held_vs):
+        _, i = conv_v["outage"]
+        row = int(gen[i, 0]) - 1
+        assert int(np.asarray(conv_v["bus"])[row, 1]) == 1  # PQ
+        assert int(np.asarray(held_v["bus"])[row, 1]) == 2  # legacy PV
+        rc = newton_raphson_pf(conv_v)
+        rh = newton_raphson_pf(held_v)
+        assert rc.success and rh.success
+        # the held variant pins the set-point; the converted one solves a
+        # genuinely lower post-contingency magnitude (voltage sag)
+        vg = float(gen[i, 5])
+        np.testing.assert_allclose(rh.vm[row], vg, atol=1e-8)
+        assert rc.vm[row] < vg - 1e-4
+
+    # the screen consumes the converted variants, grouped by bus-type
+    # signature, and counts the converted bus's violations as PQ
+    rep = screen_n1(case, branch_outages=False, gen_outages=True)
+    assert rep["converged"].all()
+    for k, conv_v in enumerate(conv_vs):
+        _, i = conv_v["outage"]
+        row = int(gen[i, 0]) - 1
+        r = newton_raphson_pf(conv_v)
+        np.testing.assert_allclose(rep["v"][k], r.vm, atol=2e-5)
 
 
 def test_n1_variants_reject_missing_status_column():
