@@ -282,7 +282,7 @@ def hybrid_solve(
     return_prediction: bool = False,
     fallback_flat: bool = True,
     fused: bool = True,
-    compact_after: int = 0,
+    compact_after=0,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -302,7 +302,9 @@ def hybrid_solve(
     API compatibility and as the A/B baseline).
 
     compact_after: per-grid convergence exit, forwarded to the Newton
-    stage (see nr_batched.solve_batched) — after that many lock-step
+    stage (see nr_batched.solve_batched; "auto" resolves against the
+    measured dispatch RTT via resolve_compact_after) — after that many
+    lock-step
     iterations the converged majority stops paying Jacobian builds and
     the stragglers continue in a compact power-of-2 sub-batch. Default 0
     (lock-step): on this relay the split's extra dispatch+fetch round
@@ -321,6 +323,9 @@ def hybrid_solve(
     NR; "fallback_grids" reports how many needed it (0 in the measured
     benches with shipped checkpoints).
     """
+    from gns_tpu.eval.nr_batched import resolve_compact_after
+
+    compact_after = resolve_compact_after(compact_after)
     if fused and predictor is None:
         out = _hybrid_solve_fused(
             params, cfg, cases, tol, max_iter, chunk_size,

@@ -472,6 +472,52 @@ def _nr_solve(gmat, bmat, p_sched, q_sched, vm0, va0, pvpq, pq,
     return vm, va, conv, it, itg, fmax
 
 
+# --- dispatch round-trip measurement & compact_after="auto" resolution.
+# The per-grid convergence exit (compact_after) costs one extra
+# fetch+dispatch round trip per chunk; whether that pays depends entirely
+# on the deployment's dispatch RTT: ~70 ms on this remote relay (a
+# measured NEGATIVE in ordinary regimes, docs/HYBRID_BENCH_R3.json) vs
+# sub-ms on local TPU hardware (where the saved Jacobian builds win for
+# the large cases). "auto" measures the actual round trip once per
+# backend and picks the side of the break-even the caller is really on.
+_RTT_CACHE: Dict[str, float] = {}
+_COMPACT_RTT_BREAKEVEN = 5e-3  # seconds; relay ~33 ms >> this >> local ~0.1 ms
+
+
+def measured_dispatch_rtt() -> float:
+    """Min-of-3 wall time of a trivial dispatch + host value fetch —
+    the per-round-trip cost every extra device hop pays on this backend
+    (cached per backend; ~33 ms on the remote relay, ~0.1 ms locally)."""
+    import time
+
+    key = jax.default_backend()
+    rtt = _RTT_CACHE.get(key)
+    if rtt is not None:
+        return rtt
+    fn = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros(8, jnp.float32)
+    np.asarray(fn(x))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    _RTT_CACHE[key] = best
+    return best
+
+
+def resolve_compact_after(compact_after, rtt_breakeven: float = None) -> int:
+    """Resolve compact_after="auto" against the measured dispatch RTT:
+    lock-step (0) when a round trip costs more than `rtt_breakeven`
+    (default _COMPACT_RTT_BREAKEVEN = 5 ms — the relay regime), the
+    per-grid exit (3) when round trips are cheap (local hardware).
+    Integers pass through unchanged."""
+    if compact_after != "auto":
+        return int(compact_after)
+    cap = _COMPACT_RTT_BREAKEVEN if rtt_breakeven is None else rtt_breakeven
+    return 0 if measured_dispatch_rtt() > cap else 3
+
+
 def solve_mixed(
     cases: List[Dict],
     tol: float = 3e-5,
@@ -542,7 +588,7 @@ def solve_batched(
     max_iter: int = 20,
     chunk_size: int = 256,
     warm_start=None,
-    compact_after: int = 0,
+    compact_after=0,
 ) -> Dict:
     """Solve every case; returns {"v", "theta_deg", "converged",
     "iterations", "iterations_per_grid", "mismatch", "stalled", ...}.
@@ -556,7 +602,9 @@ def solve_batched(
     (harness.compute_metrics drops them).
 
     compact_after: per-grid convergence exit. 0 (default) = pure
-    lock-step. k > 0 = after k full-batch iterations, grids that already
+    lock-step. "auto" = measured-RTT resolution (resolve_compact_after:
+    lock-step on a high-latency relay, 3 on local hardware).
+    k > 0 = after k full-batch iterations, grids that already
     met tol stop paying Jacobian builds: the unconverged stragglers are
     repacked into a power-of-2 sub-batch that continues from its current
     iterates with the remaining budget. Costs one extra fetch + dispatch
@@ -583,6 +631,7 @@ def solve_batched(
     the mismatch from ~1e-3 straight to the floor) — v agreement with the
     float64 oracle stays ~1e-6 p.u. (tested).
     """
+    compact_after = resolve_compact_after(compact_after)
     # Two-phase over chunks: dispatch everything asynchronously first,
     # fetch afterwards — chunk i+1's host packing and device solve overlap
     # chunk i's (each fetch is a blocking relay round trip).

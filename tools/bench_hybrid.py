@@ -25,8 +25,15 @@ PREVIOUS solution (the classical tracking solver), and the fused GNS
 hybrid (no previous solution needed — e.g. first solve of a new scenario
 batch in contingency screening).
 
+--scenario auto drives every arm through the UNIFIED surface
+(eval/solve.py solve_ac, round-4): cold (params, no previous solution ->
+resolves to the gns hybrid), hot (previous solution supplied -> resolves
+to prev tracking), and no-model (-> flat), and reports auto-vs-best-
+hand-picked ratios — the policy's "never slower" proof rows
+(docs/HYBRID_BENCH_R4.json).
+
 Usage: python tools/bench_hybrid.py [--cases 14 30 118] [--grids 256]
-       [--scenario base|hot|both] [--legacy]
+       [--scenario base|hot|both|auto] [--legacy]
 """
 
 from __future__ import annotations
@@ -67,7 +74,7 @@ def main():
     ap.add_argument("--checkpoint", default="sup",
                     help="pretrained variant suffix: sup | paper | parity")
     ap.add_argument("--scenario", default="base",
-                    choices=["base", "hot", "both"])
+                    choices=["base", "hot", "both", "auto"])
     ap.add_argument("--compact", type=int, default=0,
                     help="per-grid convergence exit: compact_after "
                          "iterations for BOTH arms (0 = lock-step)")
@@ -149,6 +156,73 @@ def main():
                 rec["wall_ms_legacy"] = round(t_legacy * 1e3, 2)
                 rec["speedup_legacy"] = round(t_flat / t_legacy, 3)
             print(json.dumps(rec), flush=True)
+
+        if args.scenario == "auto":
+            # The unified surface (eval/solve.py solve_ac): auto must
+            # match the best hand-picked arm in each scenario, through
+            # the SAME one-process min-of-repeats methodology.
+            from gns_tpu.eval.solve import solve_ac
+
+            base_sol = solve_batched(cases, tol=args.tol)
+            ramped = _ramp_loads(cases)
+            prev = (base_sol["v"], np.deg2rad(base_sol["theta_deg"]))
+            # warm every program cache (cold + hot shapes, all arms)
+            flat = solve_batched(cases, tol=args.tol)
+            hyb = hybrid_solve(params, cfg, cases, tol=args.tol)
+            a_cold = solve_ac(cases, params=params, cfg=cfg, tol=args.tol)
+            flat_h = solve_batched(ramped, tol=args.tol)
+            track = solve_batched(ramped, tol=args.tol, warm_start=prev)
+            a_hot = solve_ac(
+                ramped, params=params, cfg=cfg, prev=base_sol, tol=args.tol
+            )
+            a_flat = solve_ac(cases, tol=args.tol)
+            # cold resolution is deployment-dependent (RTT x case size —
+            # eval/solve._gns_warm_pays); record what the policy chose
+            assert a_cold["warm_start"] in ("gns", "flat")
+            assert a_hot["warm_start"] == "prev"
+            assert a_flat["warm_start"] == "flat"
+            both = flat["converged"] & a_cold["converged"]
+            np.testing.assert_allclose(  # same fixed point, every arm
+                flat["v"][both], a_cold["v"][both], atol=5e-4
+            )
+            t = {k: float("inf") for k in
+                 ("flat", "hybrid", "auto_cold", "flat_hot", "track",
+                  "auto_hot", "auto_flat")}
+
+            def tmin(key, fn):
+                t0 = time.perf_counter()
+                fn()
+                t[key] = min(t[key], time.perf_counter() - t0)
+
+            for _ in range(args.repeats):
+                tmin("flat", lambda: solve_batched(cases, tol=args.tol))
+                tmin("hybrid", lambda: hybrid_solve(
+                    params, cfg, cases, tol=args.tol))
+                tmin("auto_cold", lambda: solve_ac(
+                    cases, params=params, cfg=cfg, tol=args.tol))
+                tmin("flat_hot", lambda: solve_batched(ramped, tol=args.tol))
+                tmin("track", lambda: solve_batched(
+                    ramped, tol=args.tol, warm_start=prev))
+                tmin("auto_hot", lambda: solve_ac(
+                    ramped, params=params, cfg=cfg, prev=base_sol,
+                    tol=args.tol))
+                tmin("auto_flat", lambda: solve_ac(cases, tol=args.tol))
+            print(json.dumps({
+                "scenario": "auto",
+                "case": case,
+                "grids": len(cases),
+                "tol": args.tol,
+                "cold_resolved": a_cold["warm_start"],
+                "compact_resolved": int(a_cold["compact_after"]),
+                "wall_ms": {k: round(v * 1e3, 2) for k, v in t.items()},
+                # auto vs the best hand-picked arm per scenario (>= ~1.0
+                # minus dispatch noise proves the policy never loses)
+                "auto_cold_vs_best": round(
+                    min(t["flat"], t["hybrid"]) / t["auto_cold"], 3),
+                "auto_hot_vs_best": round(
+                    min(t["flat_hot"], t["track"]) / t["auto_hot"], 3),
+                "auto_flat_vs_flat": round(t["flat"] / t["auto_flat"], 3),
+            }), flush=True)
 
         if args.scenario in ("hot", "both"):
             base_sol = solve_batched(cases, tol=args.tol)
