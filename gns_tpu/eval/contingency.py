@@ -39,7 +39,7 @@ Usage:
 from __future__ import annotations
 
 import copy
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -214,28 +214,35 @@ def screen_n1(
     v = np.full((c, n), np.nan, np.float32)
     theta = np.full((c, n), np.nan, np.float32)
     itg = np.zeros(c, np.int32)
+    from gns_tpu.eval.solve import solve_ac
+
     for idx in sigs.values():
         group = [variants[i] for i in idx]
+        # one unified surface for every arm (eval/solve.py);
+        # fallback_flat=False throughout: an islanded variant fails from
+        # ANY start, so a flat re-solve would only burn a dispatch —
+        # non-convergence is the screen's signal, not an error
         if params is not None:
-            from gns_tpu.eval.hybrid import hybrid_solve
-
-            res = hybrid_solve(
-                params, cfg, group, tol=tol, max_iter=max_iter,
-                chunk_size=len(group), compact_after=compact_after,
-                fallback_flat=False,
+            res = solve_ac(
+                group, params=params, cfg=cfg, warm_start="gns",
+                tol=tol, max_iter=max_iter, chunk_size=len(group),
+                compact_after=compact_after, fallback_flat=False,
             )
-        else:
-            warm_start = None
-            if base_sol is not None:
-                s = len(group)
-                warm_start = (
+        elif base_sol is not None:
+            s = len(group)
+            res = solve_ac(
+                group, warm_start="prev",
+                prev=(
                     np.repeat(base_sol[0], s, axis=0),
                     np.repeat(base_sol[1], s, axis=0),
-                )
-            res = solve_batched(
-                group, tol=tol, max_iter=max_iter,
+                ),
+                tol=tol, max_iter=max_iter, chunk_size=len(group),
+                compact_after=compact_after, fallback_flat=False,
+            )
+        else:
+            res = solve_ac(
+                group, warm_start="flat", tol=tol, max_iter=max_iter,
                 chunk_size=len(group), compact_after=compact_after,
-                warm_start=warm_start,
             )
         ii = np.asarray(idx)
         conv[ii] = res["converged"]
@@ -269,3 +276,255 @@ def screen_n1(
         "v_violations": viol,
         "worst": worst,
     }
+
+
+def find_bridges(case: Dict) -> np.ndarray:
+    """Branch rows whose outage ISLANDS the network (graph bridges).
+
+    Islanding is graph-structural, not electrical: removing a bridge of
+    the in-service branch multigraph disconnects buses, the power-flow
+    Jacobian goes singular, and NO solver converges from any start. The
+    ranked screen therefore flags these EXACTLY, for free, with an
+    iterative Tarjan bridge search (O(N+E)) instead of burning Newton
+    iterations discovering the singularity per variant (a branch with an
+    in-service parallel companion is never a bridge). Measured: the
+    bridge set equals the full NR screen's non-converged set exactly on
+    case14 (1/20) and the authentic case118 (9/186).
+    """
+    bus = np.asarray(case["bus"], float)
+    br = np.asarray(case["branch"], float)
+    n = bus.shape[0]
+    f = br[:, 0].astype(int) - 1
+    t = br[:, 1].astype(int) - 1
+    status = br[:, 10] > 0 if br.shape[1] > 10 else np.ones(br.shape[0], bool)
+    adj: List[list] = [[] for _ in range(n)]
+    pair_count: Dict[tuple, int] = {}
+    for i in np.flatnonzero(status):
+        a, b = int(f[i]), int(t[i])
+        adj[a].append((b, i))
+        adj[b].append((a, i))
+        key = (min(a, b), max(a, b))
+        pair_count[key] = pair_count.get(key, 0) + 1
+
+    disc = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    out = []
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # iterative DFS: stack of (node, parent-edge, next-child-pointer)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            u, pe, ptr = stack[-1]
+            if ptr < len(adj[u]):
+                stack[-1] = (u, pe, ptr + 1)
+                vtx, ei = adj[u][ptr]
+                if ei == pe:
+                    continue
+                if disc[vtx] == -1:
+                    disc[vtx] = low[vtx] = timer
+                    timer += 1
+                    stack.append((vtx, ei, 0))
+                else:
+                    low[u] = min(low[u], disc[vtx])
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[u])
+                    if low[u] > disc[p]:
+                        key = (min(p, u), max(p, u))
+                        if pair_count[key] == 1:
+                            out.append(pe)
+    return np.asarray(sorted(out), np.int64)
+
+
+def screen_n1_ranked(
+    case: Dict,
+    params,
+    cfg: GNSConfig,
+    branch_outages: bool = True,
+    gen_outages: bool = False,
+    top_k: int = 32,
+    tol: float = 3e-5,
+    max_iter: int = 20,
+    compact_after: int = 3,
+    encode_impedance: bool = True,
+    gen_pq_conversion: bool = True,
+    v_limits=(0.94, 1.06),
+    batch_size: Optional[int] = None,
+) -> Dict:
+    """GNS-ranked fast N-1 screen: predict ALL, Newton-verify only top-k.
+
+    The operational product of the framework's ~4-orders-of-magnitude
+    serving-speed advantage over Newton (the comparison that is the
+    reference's entire point, GNS/evaluate.py:89-92,138). Three stages:
+
+      1. STRUCTURAL: islanding outages are flagged EXACTLY by graph
+         bridge detection (`find_bridges`) — no model, no Newton; they
+         go straight to "worst" (a bridge outage fails from any start,
+         so NR-verifying it only burns max_iter Jacobian builds).
+      2. RANK: ONE batched GNS forward over every remaining variant
+         (milliseconds); severity = rms deviation of the predicted
+         voltage profile from the model's OWN intact-grid prediction.
+         Differencing against the model's own base prediction cancels
+         its per-bus bias, which is why this score measured strictly
+         better than absolute predicted-violation depth and than the
+         classical base-flow heuristic (in-repo A/B: case118 converged
+         set recall@64 0.67 vs 0.25 for |S_flow| ranking; the predicted
+         violation depth ships alongside as "pred_violation_pu").
+      3. VERIFY: the `top_k` most severe are Newton-verified in batched
+         dispatches, warm-started by the predictions already in hand.
+
+    Requires an outage-AWARE model (GNSConfig.admittance_inputs trained
+    on outage-augmented grids — the `*-n1` checkpoints): the base schema
+    carries no branch-status column, so a blind model predicts the
+    pre-contingency state for every variant and stage 2 cannot rank
+    (stage 1 still works — it needs no model at all).
+    encode_impedance=True (default) feeds the aware representation.
+
+    Ranking quality and wall time are measured by tools/exp_n1_screen.py
+    (recall@k of ground-truth violations on the full authentic case118
+    outage set; docs/N1_SCREEN.md).
+
+    Returns {
+      "outages", "severity" (C,; +inf for islanding),
+      "islanded" (C,) bool — stage-1 structural flags,
+      "order" (C, descending severity; islanding first),
+      "verified_idx" (k,) — contingencies sent to Newton,
+      "converged"/"v"/"theta_deg"/"v_violations"/"v_min" — NR results on
+          the verified subset (NaN/0 elsewhere),
+      "pred_v"/"pred_theta_deg"/"pred_violation_pu" — the GNS view of
+          ALL variants,
+      "worst" — islanded outages + verified indices that violate,
+      "n_newton_solves" — NR budget actually spent (vs C for the full
+          screen),
+    }
+    """
+    from gns_tpu.serve import GNSPredictor
+
+    variants = n1_variants(
+        case, branch_outages, gen_outages,
+        encode_impedance=encode_impedance,
+        gen_pq_conversion=gen_pq_conversion,
+    )
+    c = len(variants)
+    if not variants:
+        raise ValueError("no contingencies to screen")
+
+    # stage 1: exact structural islanding flags
+    bridge_rows = set(find_bridges(case).tolist()) if branch_outages else set()
+    islanded = np.array(
+        [va["outage"][0] == "branch" and va["outage"][1] in bridge_rows
+         for va in variants]
+    )
+
+    # stage 2: one batched forward over variants + the intact case (the
+    # intact prediction is the bias-cancelling reference for severity)
+    predictor = GNSPredictor(
+        params, cfg, batch_size=batch_size or (c + 1), align_slack=True
+    )
+    pred = predictor.predict(variants + [case])
+    pv, pth = pred["v"][:c], pred["theta"][:c]
+    v_base = pred["v"][c]
+    sev = np.sqrt(((pv - v_base[None, :]) ** 2).mean(axis=1)).astype(
+        np.float64
+    )
+    lo, hi = v_limits
+    is_pq = np.stack([np.asarray(va["bus"])[:, 1] == 1 for va in variants])
+    pred_viol = (
+        (np.maximum(lo - pv, 0.0) + np.maximum(pv - hi, 0.0)) * is_pq
+    ).sum(axis=1)
+    sev[islanded] = np.inf  # flagged exactly; ranked above everything
+    order = np.argsort(-sev, kind="stable").astype(np.int64)
+
+    # stage 3: Newton-verify the top-k RANKABLE variants (islanding needs
+    # no verification — there is nothing to converge to)
+    rankable = order[~islanded[order]]
+    top_k = min(top_k, rankable.size)
+    verified_idx = np.sort(rankable[:top_k])
+
+    n = np.asarray(case["bus"]).shape[0]
+    conv = np.zeros(c, bool)
+    v = np.full((c, n), np.nan, np.float32)
+    theta = np.full((c, n), np.nan, np.float32)
+    viol = np.zeros(c, np.int32)
+    v_min = np.full(c, np.nan, np.float32)
+    if top_k:
+        sub = _verify_subset(
+            variants, verified_idx, {"v": pv, "theta": pth},
+            tol, max_iter, compact_after,
+        )
+        conv[verified_idx] = sub["converged"]
+        v[verified_idx] = sub["v"]
+        theta[verified_idx] = sub["theta_deg"]
+        for i in verified_idx:
+            if not conv[i]:
+                continue
+            pq_i = is_pq[i]
+            viol[i] = int((((v[i] < lo) | (v[i] > hi)) & pq_i).sum())
+            v_min[i] = v[i].min()
+    worst = np.flatnonzero(
+        islanded
+        | (np.isin(np.arange(c), verified_idx) & (~conv | (viol > 0)))
+    )
+    return {
+        "outages": [va["outage"] for va in variants],
+        "severity": sev,
+        "islanded": islanded,
+        "order": order,
+        "verified_idx": verified_idx,
+        "converged": conv,
+        "v": v,
+        "theta_deg": theta,
+        "v_violations": viol,
+        "v_min": v_min,
+        "pred_v": pv,
+        "pred_theta_deg": np.rad2deg(pth).astype(np.float32),
+        "pred_violation_pu": pred_viol,
+        "worst": worst,
+        "n_newton_solves": int(top_k),
+    }
+
+
+def _verify_subset(
+    variants: List[Dict],
+    idx: Sequence[int],
+    pred: Dict,
+    tol: float,
+    max_iter: int,
+    compact_after,
+) -> Dict:
+    """Newton-verify the selected variants, warm-started by the GNS
+    prediction already in hand (no second forward), grouped by bus-type
+    signature like screen_n1. Results in `idx` order."""
+    from gns_tpu.eval.solve import solve_ac
+
+    idx = np.asarray(idx)
+    sigs: Dict[bytes, list] = {}
+    for j, i in enumerate(idx):
+        key = np.asarray(variants[i]["bus"])[:, 1].astype(np.int8).tobytes()
+        sigs.setdefault(key, []).append(j)
+    n = pred["v"].shape[1]
+    out = {
+        "converged": np.zeros(idx.size, bool),
+        "v": np.full((idx.size, n), np.nan, np.float32),
+        "theta_deg": np.full((idx.size, n), np.nan, np.float32),
+    }
+    for rows in sigs.values():
+        rows = np.asarray(rows)
+        gidx = idx[rows]
+        res = solve_ac(
+            [variants[i] for i in gidx],
+            warm_start="prev",
+            prev=(pred["v"][gidx], pred["theta"][gidx]),
+            tol=tol, max_iter=max_iter, chunk_size=len(gidx),
+            compact_after=compact_after, fallback_flat=False,
+        )
+        out["converged"][rows] = res["converged"]
+        out["v"][rows] = res["v"]
+        out["theta_deg"][rows] = res["theta_deg"]
+    return out

@@ -152,6 +152,56 @@ def test_gen_outage_pq_conversion():
         np.testing.assert_allclose(rep["v"][k], r.vm, atol=2e-5)
 
 
+def test_find_bridges_matches_nr_nonconvergence():
+    """Graph bridge detection must flag EXACTLY the branch outages the
+    full NR screen reports non-converged (islanding is structural)."""
+    from gns_tpu.eval.contingency import find_bridges
+
+    for case_nr in (14, 118):
+        case = load_case(case_nr)
+        bridges = set(find_bridges(case).tolist())
+        full = screen_n1(case)
+        nonconv = {
+            full["outages"][i][1]
+            for i in np.flatnonzero(~full["converged"])
+        }
+        assert bridges == nonconv, (case_nr, bridges, nonconv)
+
+
+def test_screen_n1_ranked_structure_and_recall():
+    """The ranked screen flags islanding structurally (severity inf, in
+    'worst', zero Newton budget spent on it), verifies exactly top_k
+    rankable contingencies, and its verified results match the full
+    screen's fixed points."""
+    from gns_tpu.eval.contingency import screen_n1_ranked
+    from gns_tpu.models.pretrained import available_cases, load_pretrained
+
+    if "14-n1" not in available_cases():
+        pytest.skip("14-n1 checkpoint not shipped")
+    params, cfg = load_pretrained("14-n1")
+    case = load_case(14)
+    rep = screen_n1_ranked(case, params, cfg, gen_outages=True, top_k=8)
+    assert len(rep["outages"]) == 24
+    assert rep["n_newton_solves"] == 8
+    # bridge outage: flagged, severity inf, ranked first, NOT NR-verified
+    isl = np.flatnonzero(rep["islanded"])
+    assert isl.size == 1
+    assert np.isinf(rep["severity"][isl]).all()
+    assert rep["order"][0] == isl[0]
+    assert isl[0] in rep["worst"]
+    assert isl[0] not in rep["verified_idx"]
+    # verified solves agree with the full screen
+    full = screen_n1(case, gen_outages=True)
+    ok = rep["verified_idx"][rep["converged"][rep["verified_idx"]]]
+    np.testing.assert_allclose(
+        rep["v"][ok], full["v"][ok], atol=5e-4
+    )
+    # every worst it reports is genuinely worst (precision 1.0; recall is
+    # the measured quantity in docs/N1_SCREEN.json, not asserted here)
+    true_worst = set(full["worst"].tolist())
+    assert set(rep["worst"].tolist()) <= true_worst
+
+
 def test_n1_variants_reject_missing_status_column():
     case = load_case(14)
     case = dict(case)
