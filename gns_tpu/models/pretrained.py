@@ -232,6 +232,41 @@ _PRETRAINED["118-n1"] = (
          admittance_inputs=True, grad_clip=1.0, warmup_steps=300, **_BEST),
 )
 
+# Round-4 growth of the n1 family (tools/exp_multi_n1.py): "multi-n1" is
+# the admittance-space GENERALIST (one model, outage-augmented grids of
+# all five cases — the cross-case regularization that beats branch drift,
+# ROADMAP #7, now in the outage-aware representation), and "30-n1" is its
+# gentle (lr 1e-4) case30 fine-tune — the exact recipe that fixed plain
+# case30, applied to resolve the ROADMAP #9 confound. Measured (64
+# fully-outaged held-out grids, v MSE vs post-contingency NR):
+#   multi-n1: c9 0.00327 / c14 0.00340 / c30 0.00923 / c118 0.00061 /
+#   c300* 0.00121.
+#   30-n1: 0.0111 — the round-3 CONFOUND IS RESOLVED: cold-start aware
+#   training scored 0.037 (the branch-drift trap); warm-starting from
+#   the generalist eliminates the drift (3.3x). What remains is a CLEAN
+#   measured negative: the blind 30-paper baseline scores 0.0084 on the
+#   same outaged grids, so case30 sits with case118 on the
+#   below-error-floor side of the severity boundary (its single-branch
+#   outages move voltages less than the model floor; case14's do not —
+#   aware wins 1.76x there). 30-n1 ships as the best AWARE case30 model
+#   (the ranked N-1 screen needs the representation's differential
+#   signal, not absolute accuracy).
+#   Warm-started 14/118 re-runs (14-n1w 0.00140 vs shipped 0.00127;
+#   118-n1w 0.000548 vs shipped 0.000496) measured WORSE than the
+#   cold-start specialists — exports skipped, shipped checkpoints stand.
+_PRETRAINED["multi-n1"] = (
+    "pretrained_multi_K4_L20_H10_n1.pth",
+    dict(case_nr=0, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         admittance_inputs=True, grad_clip=1.0, warmup_steps=300, **_BEST),
+)
+_PRETRAINED["30-n1"] = (
+    "pretrained_c30_K4_L20_H10_n1.pth",
+    dict(case_nr=30, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         admittance_inputs=True, **_BEST),
+)
+
 
 def available_cases():
     """Registry keys with a shipped checkpoint actually present on disk

@@ -163,14 +163,15 @@ def main():
                          "generation only at generator buses, so the loss "
                          "carries a live load-bus reactive residual; "
                          "utils/config.py qg_gen_only)")
-    ap.add_argument("--case", type=int, default=14, choices=[14, 30],
-                    help="case14: the reference's shipped pickles. case30: "
-                         "the second fully-authentic head-to-head — both "
-                         "sides train on the SAME augmented grids of the "
-                         "verified IEEE case30 (utils/cases.py) generated "
-                         "with the reference's C9 augmentation semantics, "
-                         "and evaluate on the same held-out range "
-                         "(mirroring the case14 index layout, Q6 fixed)")
+    ap.add_argument("--case", type=int, default=14, choices=[14, 30, 118],
+                    help="case14: the reference's shipped pickles. "
+                         "case30/case118: fully-authentic head-to-heads — "
+                         "both sides train on the SAME augmented grids of "
+                         "the verified IEEE table (utils/cases.py) "
+                         "generated with the reference's C9 augmentation "
+                         "semantics, and evaluate on the same held-out "
+                         "range (mirroring the case14 index layout, Q6 "
+                         "fixed)")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.nr_samples, args.eval_samples = 3, 32, 16

@@ -217,10 +217,26 @@ def main():
                 _eval_plain(best.params, cfg, case_nr, args.eval_grids,
                             scale=scales[case_nr]), 6),
         }
+        path = os.path.join(
+            ASSET_DIR, f"pretrained_c{case_nr}_K4_L20_H10_n1.pth"
+        )
         if args.export:
-            path = os.path.join(
-                ASSET_DIR, f"pretrained_c{case_nr}_K4_L20_H10_n1.pth"
-            )
+            # 30-n1 is a NEW checkpoint; 14/118 already ship cold-start
+            # n1 specialists — only overwrite when the warm-started one
+            # is measurably better on the same outaged eval set
+            if tag.endswith("w") and os.path.exists(path):
+                from gns_tpu.models.pretrained import load_pretrained as _lp
+
+                old_params, old_cfg = _lp(f"{case_nr}-n1")
+                mse_old, _, _ = _eval_outaged(
+                    old_params, old_cfg, case_nr, args.eval_grids,
+                    scale=scales[case_nr],
+                )
+                row["outaged_v_mse_shipped_n1"] = round(mse_old, 6)
+                if mse_aware >= mse_old:
+                    row["export"] = "skipped (shipped n1 is better)"
+                    print(json.dumps(row), flush=True)
+                    continue
             export_torch(path, best, cfg)
             row["path"] = os.path.relpath(path, REPO)
         print(json.dumps(row), flush=True)
