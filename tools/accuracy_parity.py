@@ -33,7 +33,8 @@ from tools.make_goldens import REF_GNS, install_stubs  # noqa: E402
 
 
 def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, seed,
-                    resume_path="/tmp/acc_torch_state.pt", train_cases=None):
+                    resume_path="/tmp/acc_torch_state.pt", train_cases=None,
+                    patience=2):
     """Train the reference; resumable (saves model+opt each epoch) so long
     runs can proceed in <10-min chunks under the sandbox process cap.
 
@@ -101,7 +102,7 @@ def train_reference(epochs, K, latent, hidden, mphi, nr_samples, batch_size, see
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
         if epoch_loss >= best_loss:
             inc += 1
-            if inc > 2:
+            if inc > patience:
                 print(f"[torch] early stop at epoch {epoch}")
                 break
         else:
@@ -163,6 +164,12 @@ def main():
                          "generation only at generator buses, so the loss "
                          "carries a live load-bus reactive residual; "
                          "utils/config.py qg_gen_only)")
+    ap.add_argument("--patience", type=int, default=2,
+                    help="early-stop patience applied SYMMETRICALLY to "
+                         "both sides (2 = the reference's own rule, "
+                         "GNS/main.py:296-304; large = full budget — "
+                         "results go to a _p<patience>-suffixed file so "
+                         "the protocol row is preserved)")
     ap.add_argument("--case", type=int, default=14, choices=[14, 30, 118],
                     help="case14: the reference's shipped pickles. "
                          "case30/case118: fully-authentic head-to-heads — "
@@ -202,15 +209,18 @@ def main():
     nr = run_nr_oracle(cases)
     print(f"NR oracle: {nr['converged'].mean()*100:.0f}% converged", flush=True)
 
+    suffix = "" if args.patience == 2 else f"_p{args.patience}"
     out_path = os.path.join(
         REPO,
-        "ACCURACY.json" if args.case == 14 else f"ACCURACY_case{args.case}.json",
+        f"ACCURACY{suffix}.json" if args.case == 14
+        else f"ACCURACY_case{args.case}{suffix}.json",
     )
     result = {
         "config": {"K": K, "latent": latent, "hidden": hidden,
                    "multiple_phi": mphi, "epochs": args.epochs,
                    "train_grids": args.nr_samples,
-                   "eval_grids": args.eval_samples, "case": args.case},
+                   "eval_grids": args.eval_samples, "case": args.case,
+                   "patience": args.patience},
     }
     if os.path.exists(out_path):
         with open(out_path) as f:
@@ -229,6 +239,7 @@ def main():
                         nr_samples=args.nr_samples, seed=seed,
                         case_nr=args.case,
                         batch_size=min(128, args.nr_samples),
+                        early_stop_patience=args.patience,
                         reference_parity=(args.physics == "parity"),
                         qg_gen_only=args.qg_gen_only)
         if args.case == 14:
@@ -260,7 +271,8 @@ def main():
                                         args.nr_samples,
                                         min(128, args.nr_samples), seed,
                                         resume_path=f"/tmp/acc_torch_state_c{args.case}.pt",
-                                        train_cases=train_cases)
+                                        train_cases=train_cases,
+                                        patience=args.patience)
         v_t, th_t = eval_reference(sd, cases, K, latent, hidden, mphi)
         gns_t = {"time": np.zeros(len(cases), np.float32), "v": v_t,
                  "theta": th_t,
