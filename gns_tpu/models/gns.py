@@ -88,9 +88,24 @@ def init_gns_params(key, cfg: GNSConfig, dtype=jnp.float32):
         ("L_m", cfg.update_in_dim, cfg.latent_dim),
     ]
     keys = jax.random.split(key, len(names))
-    return {
+    params = {
         name: stacked_block(k, din, dout) for k, (name, din, dout) in zip(keys, names)
     }
+    s = cfg.init_correction_scale
+    if s != 1.0:
+        if cfg.reference_parity:
+            raise ValueError(
+                "init_correction_scale requires reference_parity=False "
+                "(the reference's init has no such knob)"
+            )
+        # start near identity: scale the update heads' OUTPUT layers so
+        # the per-step corrections begin small (see utils/config.py —
+        # deep K stacks on stiff networks have a NaN forward at the
+        # torch-default init)
+        for name in ("L_theta", "L_v", "L_m"):
+            params[name]["w4"] = params[name]["w4"] * s
+            params[name]["b4"] = params[name]["b4"] * s
+    return params
 
 
 # Head orders of the fused layout. L_theta consumes phi_theta's aggregate,

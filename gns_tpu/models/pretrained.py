@@ -100,6 +100,24 @@ _PRETRAINED["300-deep-paper"] = (
     dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
          reference_parity=False, qg_gen_only=True),
 )
+# "118-deep-paper" (round 4) — the deep preset on the authentic case118,
+# made trainable by init_correction_scale=0.1 (at K=8 the torch-default
+# init's forward is NaN on the stiff 345 kV branches before any training;
+# see utils/config.py). v MSE vs NR 0.000144 on the standard held-out
+# set (0.000167 on the floor experiment's outaged set) — 2.2x better
+# than 118-sup (0.00032), the most accurate case118 model shipped.
+# The matched-capacity AWARE arm measured 0.000217
+# (severe quartile 0.000296 vs 0.000276): case118's outage severity (p90
+# 6.7e-5 p.u.^2) sits below even the HALVED error floor, so the round-3
+# outage-awareness negative survives doubled capacity — the severity-vs-
+# floor boundary is a property of the network, not of model capacity.
+_PRETRAINED["118-deep-paper"] = (
+    "pretrained_c118_K8_L40_H10_paper.pth",
+    dict(case_nr=118, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         grad_clip=1.0, warmup_steps=300, init_correction_scale=0.1),
+)
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),

@@ -137,6 +137,17 @@ class GNSConfig:
     # and its gradients ~1e4x case14's, and unclipped Adam stalls at a
     # ~1e4 plateau (measured; see ROADMAP).
     grad_clip: float = 0.0
+    # Scale factor on the OUTPUT-layer init (w4/b4) of the update heads
+    # L_theta/L_v/L_m (1.0 = the torch-default init, the reference
+    # behavior). Deep stacks on stiff networks need < 1: at K=8 on the
+    # authentic case118 the torch-default init's 8 uncontrolled
+    # correction steps blow |v| up to ~1e22 and the INITIAL forward is
+    # already NaN — no gradient signal exists to recover from. A small
+    # scale starts the model near identity (corrections ~0, v near its
+    # start), where the loss is finite and training can proceed. Only
+    # meaningful for fresh inits; parity mode rejects != 1.0 (the
+    # reference has no such knob).
+    init_correction_scale: float = 1.0
     early_stop_patience: int = 2  # non-improving epochs tolerated (main.py:296-304)
     seed: int = 0
 

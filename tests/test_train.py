@@ -29,6 +29,41 @@ def data14():
     return batch_from_cases(cases)
 
 
+def test_init_correction_scale_near_identity(data14):
+    """init_correction_scale < 1 scales the update heads' output-layer
+    init so fresh deep models start near identity (finite loss on stiff
+    cases — the K8/L40-on-case118 NaN-at-init fix); parity mode rejects
+    the knob (the reference's init has no equivalent)."""
+    from gns_tpu.models.gns import gns_forward_batch, init_gns_params
+
+    cfg = GNSConfig(
+        K=2, latent_dim=8, hidden_dim=8, multiple_phi=True, seed=0,
+        reference_parity=False, qg_gen_only=True,
+        init_correction_scale=0.1,
+    )
+    p = init_gns_params(jax.random.key(0), cfg)
+    p1 = init_gns_params(jax.random.key(0), cfg.replace(init_correction_scale=1.0))
+    # only the output layers of the L heads are scaled
+    np.testing.assert_allclose(
+        np.asarray(p["L_v"]["w4"]), 0.1 * np.asarray(p1["L_v"]["w4"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p["L_v"]["w1"]), np.asarray(p1["L_v"]["w1"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p["phi_v"]["w4"]), np.asarray(p1["phi_v"]["w4"])
+    )
+    out = gns_forward_batch(p, cfg, data14)
+    assert np.isfinite(float(np.asarray(out.total_loss).mean()))
+
+    with pytest.raises(ValueError):
+        init_gns_params(
+            jax.random.key(0),
+            GNSConfig(K=2, latent_dim=8, hidden_dim=8,
+                      reference_parity=True, init_correction_scale=0.5),
+        )
+
+
 def test_loss_decreases(data14):
     state = init_train_state(jax.random.key(0), CFG)
     step = make_train_step(CFG, method="scatter", donate=False)

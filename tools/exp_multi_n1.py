@@ -179,6 +179,107 @@ def main():
             row["path"] = os.path.relpath(path, REPO)
         print(json.dumps(row), flush=True)
 
+    if "118-deep" in args.which:
+        # The case118 floor experiment (round 4): the round-3 negative —
+        # "single outages move voltages less than the model error floor"
+        # — is a statement about the K4/L20 floor (~4e-4). The deep
+        # preset (K=8, latent 40 — the config that cut case300's
+        # residual 5x) may push the floor BELOW case118's outage
+        # severity (p90 6.7e-5 p.u.^2). Train a deep AWARE model and a
+        # deep BLIND baseline at matched capacity, evaluate both on the
+        # same fully-outaged held-out set.
+        import numpy as np
+
+        from gns_tpu.eval.harness import (
+            compute_metrics,
+            run_gns,
+            run_nr_oracle,
+        )
+        from gns_tpu.eval.newton_raphson import newton_raphson_pf
+        from gns_tpu.utils.augment import generate_cases
+        from gns_tpu.utils.config import GNSConfig
+
+        deep = dict(
+            case_nr=118, K=8, latent_dim=40, hidden_dim=10,
+            multiple_phi=True, reference_parity=False, qg_gen_only=True,
+            dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+            grad_clip=1.0, warmup_steps=300, seed=0, epochs=args.epochs,
+            early_stop_patience=args.patience, batch_size=128,
+            # at K=8 on stiff case118 the torch-default init's forward is
+            # already NaN (|v| ~ 1e22 after 8 uncontrolled corrections);
+            # 0.1 starts near identity with a finite loss (measured scan
+            # in the round-4 log: 1.0 -> NaN, 0.1 -> loss ~283, v <= 1.16)
+            init_correction_scale=0.1,
+        )
+        cfg_a = GNSConfig(admittance_inputs=True, **deep)
+        cfg_b = GNSConfig(admittance_inputs=False, **deep)
+
+        t0 = time.perf_counter()
+        aware_cases = outaged_set(118, args.grids, seed=0,
+                                  prob=args.outage_prob)
+        blind_cases = list(generate_cases(
+            118, args.grids, seed=0, feasible_only=True))[1:]
+        gen_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        best_a, hist_a = train(
+            cfg_a, batch_from_cases(aware_cases, paper_shunts=False)
+        )
+        best_b, hist_b = train(
+            cfg_b, batch_from_cases(blind_cases, paper_shunts=False)
+        )
+        train_s = time.perf_counter() - t0
+
+        held_out = outaged_set(118, args.eval_grids, seed=999, prob=1.0)
+        nr_out = run_nr_oracle(held_out)
+        # intact twins (replaying the rejection stream) for the blind arm
+        held_intact = []
+        rng = np.random.default_rng(999)
+        gen_seed = 999
+        while len(held_intact) < len(held_out):
+            batch = list(generate_cases(
+                118, max(16, len(held_out) - len(held_intact)),
+                seed=gen_seed))[1:]
+            gen_seed += 1
+            for c in batch:
+                c2, _ = apply_random_outage(c, rng, 1.0)
+                if newton_raphson_pf(c2).success:
+                    held_intact.append(c)
+                    if len(held_intact) == len(held_out):
+                        break
+        nr_intact = run_nr_oracle(held_intact)
+
+        g_a = run_gns(best_a.params, cfg_a, held_out)
+        g_b = run_gns(best_b.params, cfg_b, held_intact)
+        m_a = compute_metrics(nr_out, g_a)
+        m_b = compute_metrics(nr_out, g_b)
+        # per-grid outage severity (true post-vs-pre state shift) and the
+        # severest-quartile split, the exp_outage_aware convention
+        ok = nr_out["converged"] & nr_intact["converged"]
+        sev = ((nr_out["v"] - nr_intact["v"]) ** 2).mean(axis=1)
+        se_a = ((g_a["v"] - nr_out["v"]) ** 2).mean(axis=1)
+        se_b = ((g_b["v"] - nr_out["v"]) ** 2).mean(axis=1)
+        q = np.quantile(sev[ok], 0.75)
+        top = ok & (sev >= q)
+        row = {
+            "which": "118-deep", "grids": args.grids,
+            "epochs_run": [len(hist_a), len(hist_b)],
+            "gen_sec": round(gen_s, 1), "train_sec": round(train_s, 1),
+            "outaged_v_mse_aware_deep": round(m_a["v_mse"], 6),
+            "outaged_v_mse_blind_deep": round(m_b["v_mse"], 6),
+            "severe_q_v_mse_aware_deep": round(float(se_a[top].mean()), 6),
+            "severe_q_v_mse_blind_deep": round(float(se_b[top].mean()), 6),
+            "severity_p90": round(float(np.quantile(sev[ok], 0.9)), 8),
+            "plain_v_mse_aware_deep": round(
+                _eval_plain(best_a.params, cfg_a, 118, args.eval_grids), 6),
+        }
+        if args.export and m_a["v_mse"] < m_b["v_mse"]:
+            path = os.path.join(
+                ASSET_DIR, "pretrained_c118_K8_L40_H10_n1.pth"
+            )
+            export_torch(path, best_a, cfg_a)
+            row["path"] = os.path.relpath(path, REPO)
+        print(json.dumps(row), flush=True)
+
     for tag, case_nr in (("30-n1", 30), ("14-n1w", 14), ("118-n1w", 118)):
         if tag not in args.which:
             continue
