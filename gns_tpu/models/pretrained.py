@@ -118,6 +118,18 @@ _PRETRAINED["118-deep-paper"] = (
          dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
          grad_clip=1.0, warmup_steps=300, init_correction_scale=0.1),
 )
+# "14-deep-paper" (round 4) — the same deep recipe on case14: v MSE vs NR
+# 5.9e-5, 9.3x better than 14-sup (0.00055), the most accurate case14
+# model shipped. (The case30 attempt landed 0.0067 — no branch drift
+# even cold-start, better than every cold K4 recipe, but the shipped
+# 30-sup at 0.0061 still wins, so it was not exported.)
+_PRETRAINED["14-deep-paper"] = (
+    "pretrained_c14_K8_L40_H10_paper.pth",
+    dict(case_nr=14, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         init_correction_scale=0.1),
+)
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),
