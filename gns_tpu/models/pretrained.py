@@ -130,6 +130,22 @@ _PRETRAINED["14-deep-paper"] = (
          dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
          init_correction_scale=0.1),
 )
+# "multi-deep-paper" (round 4) — the deep generalist (K=8/L40, one model
+# round-robin over all five cases, init_correction_scale=0.1 +
+# grad_clip/warmup for the stiff 118 in the mix). v MSE vs NR:
+# c9 9.5e-5 / c14 0.000997 / c30 0.00745 / c118 8.3e-5 / c300* 0.000331
+# — beats multi-sup on 9/118/300 (4.2x / 3.9x / 1.9x), loses on 14/30
+# (the K4 warm-started fine-tunes keep those). Its c118 number even
+# beats the 118-deep-paper SPECIALIST (8.3e-5 vs 1.44e-4): cross-case
+# training regularizes the deep model exactly as it did the K4 family
+# (ROADMAP #7).
+_PRETRAINED["multi-deep-paper"] = (
+    "pretrained_multi_K8_L40_H10_paper.pth",
+    dict(case_nr=0, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         grad_clip=1.0, warmup_steps=300, init_correction_scale=0.1),
+)
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),
