@@ -102,9 +102,9 @@ def _prepare_stacked(bus, branch, gen, base, paper_shunts: bool):
 
 def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
               slack_idx: int, shapes: tuple,
-              has_status: bool, return_pred: bool):
+              has_status: bool, return_pred: bool, solver: str = "nr"):
     key = (
-        cfg, method, slack_idx, shapes, has_status, return_pred,
+        cfg, method, slack_idx, shapes, has_status, return_pred, solver,
         topo.src.tobytes(), topo.dst.tobytes(), topo.gen_idx.tobytes(),
     )
     fn = _FUSED_CACHE.get(key)
@@ -115,6 +115,13 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
     paper_shunts = not cfg.true_shunts
     fj = jnp.asarray(topo.src)
     tj = jnp.asarray(topo.dst)
+    n_buses = shapes[0][1]
+    if solver == "fdpf":
+        # fast-decoupled tail (eval/fdpf.py): B'/B'' factored once inside
+        # the same fused program, iterations are matvecs — the incidence
+        # one-hots for its edge-list mismatch eval are trace-time consts
+        inc_f = jax.nn.one_hot(fj, n_buses, dtype=jnp.float32).T
+        inc_t = jax.nn.one_hot(tj, n_buses, dtype=jnp.float32).T
 
     def run(params, bus, branch, gen, base,
             p_sched, q_sched, vm0, va0, pvpq, pq, tol, max_iter):
@@ -141,11 +148,32 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
         # the dense admittance pair is assembled HERE, on device, from the
         # same raw stacks the forward consumed (nr_batched._assemble_gb) —
         # it never crosses the ~17 MB/s host boundary
-        gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
-        vm, va, conv, it, itg, fmax = _nr_solve(
-            gmat, bmat, p_sched, q_sched, vm_w, va_w, pvpq, pq,
-            tol=tol, max_iter=max_iter,
-        )
+        if solver == "fdpf":
+            from gns_tpu.eval.fdpf import (
+                _batched_inverse,
+                _branch_parts,
+                _build_b_matrices,
+                _fdpf_solve,
+                _make_injections,
+            )
+
+            bp, bpp = _build_b_matrices(
+                bus, branch, base, fj, tj, has_status, "XB"
+            )
+            bp_inv = _batched_inverse(bp[:, pvpq][:, :, pvpq])
+            bpp_inv = _batched_inverse(bpp[:, pq][:, :, pq])
+            parts = _branch_parts(bus, branch, base, has_status)
+            injections = _make_injections(parts, inc_f, inc_t, fj, tj)
+            vm, va, conv, it, itg, fmax = _fdpf_solve(
+                injections, bp_inv, bpp_inv, p_sched, q_sched,
+                vm_w, va_w, pvpq, pq, tol, max_iter,
+            )
+        else:
+            gmat, bmat = _assemble_gb(bus, branch, base, fj, tj, has_status)
+            vm, va, conv, it, itg, fmax = _nr_solve(
+                gmat, bmat, p_sched, q_sched, vm_w, va_w, pvpq, pq,
+                tol=tol, max_iter=max_iter,
+            )
         packed = _pack_solution(vm, va, conv, it, itg, fmax)
         if return_pred:
             return packed, v, theta
@@ -159,7 +187,7 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
 def _hybrid_solve_fused(
     params, cfg: GNSConfig, cases: List[Dict], tol: float, max_iter: int,
     chunk_size: int, method: str = "auto", return_pred: bool = False,
-    compact_after: int = 0,
+    compact_after: int = 0, solver: str = "nr",
 ) -> Dict[str, np.ndarray]:
     s = len(cases)
     # dispatch all chunks asynchronously first, fetch afterwards (cf.
@@ -194,9 +222,15 @@ def _hybrid_solve_fused(
         fn = _fused_fn(
             cfg, method, topo, slack_idx,
             shapes=(bus.shape, branch.shape, gen.shape),
-            has_status=has_status, return_pred=return_pred,
+            has_status=has_status, return_pred=return_pred, solver=solver,
         )
-        k1 = compact_after if 0 < compact_after < max_iter else max_iter
+        # no compaction for the fast-decoupled tail: its iterations are
+        # two matvecs, so the per-grid exit's extra round trip never pays
+        k1 = (
+            compact_after
+            if solver == "nr" and 0 < compact_after < max_iter
+            else max_iter
+        )
         out = fn(
             params,
             jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
@@ -283,6 +317,7 @@ def hybrid_solve(
     fallback_flat: bool = True,
     fused: bool = True,
     compact_after=0,
+    solver: str = "nr",
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -315,6 +350,15 @@ def hybrid_solve(
     On local hardware (no ~33 ms round trips) the tradeoff tilts back
     toward compaction for the large cases.
 
+    solver: the exact-solve tail after the warm seeding — "nr" (default;
+    the batched full-Newton while_loop) or "fdpf" (the fast-decoupled
+    B'-/B''-factored-once loop, eval/fdpf.py, fused into the same
+    program; ~Nx cheaper per iteration, geometric convergence — pass a
+    larger max_iter, e.g. 60). Both gate on the true AC mismatch and
+    reach the same fixed point; the flat-start FALLBACK always uses full
+    Newton, so robustness is identical. Measured A/B:
+    docs/FDPF_BENCH.json "gns" rows.
+
     fallback_flat: Newton is only locally convergent — a bad prediction
     can leave the basin of attraction on grids a flat start solves
     (observed on strongly perturbed case30 grids with noise-level-0.1
@@ -325,11 +369,14 @@ def hybrid_solve(
     """
     from gns_tpu.eval.nr_batched import resolve_compact_after
 
+    if solver not in ("nr", "fdpf"):
+        raise ValueError(f"solver must be nr|fdpf, got {solver!r}")
     compact_after = resolve_compact_after(compact_after)
     if fused and predictor is None:
         out = _hybrid_solve_fused(
             params, cfg, cases, tol, max_iter, chunk_size,
             return_pred=return_prediction, compact_after=compact_after,
+            solver=solver,
         )
     else:
         if predictor is None:
@@ -337,7 +384,11 @@ def hybrid_solve(
                 params, cfg, batch_size=max(len(cases), 1), align_slack=True
             )
         pred = predictor.predict(cases)
-        out = solve_batched(
+        if solver == "fdpf":
+            from gns_tpu.eval.fdpf import solve_batched_fdpf as _solve
+        else:
+            _solve = solve_batched
+        out = _solve(
             cases,
             tol=tol,
             max_iter=max_iter,

@@ -33,6 +33,17 @@ so auto is never slower than the best hand-picked arm beyond dispatch
 noise (proven through this surface by tools/bench_hybrid.py
 --scenario auto -> docs/HYBRID_BENCH_R4.json).
 
+On top of the warm-start axis, round 4 added the SOLVER axis: `method`
+picks between batched full Newton (nr_batched) and the batched
+fast-decoupled solver (eval/fdpf.py — B'/B'' factored once, iterations
+are matvecs). method="auto" resolves to fdpf, which measured >= parity
+on every (case, scenario) cell and up to 3.2x on the large ones
+(docs/FDPF_BENCH.json), with full-Newton flat-start fallback for any
+grid the decoupling fails. Through this surface the auto policy is now
+measured FASTER than every round-3 hand-picked Newton arm: cold
+1.10-2.38x, hot 1.06-2.24x, flat 1.17-2.81x across cases 14/30/118/300
+(docs/HYBRID_BENCH_R4.json "run_c_fdpf").
+
 All arms return the SAME fixed point (Newton's root does not depend on
 its start; asserted in tests) and the same result schema, and all are
 protected by the flat-start fallback (a bad warm start can leave Newton's
@@ -95,8 +106,10 @@ def solve_ac(
     cfg: Optional[GNSConfig] = None,
     prev: Union[None, Dict, Tuple[np.ndarray, np.ndarray]] = None,
     warm_start: str = "auto",
+    method: str = "auto",
     tol: float = 3e-5,
     max_iter: int = 20,
+    fdpf_max_iter: int = 60,
     chunk_size: int = 256,
     compact_after="auto",
     fallback_flat: bool = True,
@@ -116,6 +129,23 @@ def solve_ac(
           angles), exactly like every other arm.
       "gns"  — the fused GNS hybrid (requires params + cfg).
       "flat" — plain flat start.
+
+    method:
+      "auto" (default) — the fast-decoupled solver (eval/fdpf.py),
+          which measured >= parity on every case and scenario and up to
+          3.2x on the large ones (docs/FDPF_BENCH.json: cold case30
+          1.7x / case118 2.5-2.6x / case300 2.7-3.2x; hot 1.1-2.6x; the
+          fused GNS hybrid's tail 2.0-2.2x), with a full-Newton
+          flat-start re-solve spliced in for any grid the decoupling
+          fails — so the resolved fixed point, robustness and result
+          schema are exactly the Newton arm's.
+      "nr"   — force batched full Newton everywhere (the round-3 arms).
+      "fdpf" — force the fast-decoupled solver (no Newton fallback is
+          NOT implied: fallback_flat still applies and uses Newton).
+    The resolved solver is recorded in the result under "method".
+    max_iter bounds Newton iterations; fdpf_max_iter (default 60) bounds
+    fast-decoupled half-step pairs — it converges geometrically, so it
+    takes more, ~N-times-cheaper, iterations.
 
     compact_after: per-grid convergence exit; "auto" (default) resolves
     against the measured dispatch round trip
@@ -145,7 +175,28 @@ def solve_ac(
         raise ValueError(
             f"warm_start must be auto|prev|gns|flat, got {warm_start!r}"
         )
+    if method == "auto":
+        # measured >= parity on every (case, scenario) cell, up to 3.2x
+        # (docs/FDPF_BENCH.json); robustness is covered by the Newton
+        # flat-start fallback below
+        method = "fdpf"
+    if method not in ("nr", "fdpf"):
+        raise ValueError(f"method must be auto|nr|fdpf, got {method!r}")
     compact_after = resolve_compact_after(compact_after)
+    if method == "fdpf":
+        from gns_tpu.eval.fdpf import solve_batched_fdpf
+
+        def _warm_solve(cs, ws=None):
+            return solve_batched_fdpf(
+                cs, tol=tol, max_iter=fdpf_max_iter, chunk_size=chunk_size,
+                warm_start=ws,
+            )
+    else:
+        def _warm_solve(cs, ws=None):
+            return solve_batched(
+                cs, tol=tol, max_iter=max_iter, chunk_size=chunk_size,
+                warm_start=ws, compact_after=compact_after,
+            )
 
     if warm_start == "gns":
         if params is None or cfg is None:
@@ -153,9 +204,10 @@ def solve_ac(
         from gns_tpu.eval.hybrid import hybrid_solve
 
         out = hybrid_solve(
-            params, cfg, cases, tol=tol, max_iter=max_iter,
+            params, cfg, cases, tol=tol,
+            max_iter=fdpf_max_iter if method == "fdpf" else max_iter,
             chunk_size=chunk_size, compact_after=compact_after,
-            fallback_flat=fallback_flat,
+            fallback_flat=fallback_flat, solver=method,
         )
     else:
         ws = None
@@ -163,13 +215,13 @@ def solve_ac(
             if prev is None:
                 raise ValueError("warm_start='prev' requires prev")
             ws = _prev_as_tuple(prev, len(cases))
-        out = solve_batched(
-            cases, tol=tol, max_iter=max_iter, chunk_size=chunk_size,
-            warm_start=ws, compact_after=compact_after,
-        )
+        out = _warm_solve(cases, ws)
+        # the fallback re-solve is ALWAYS batched full Newton from the
+        # flat start — the most robust arm — so neither a bad previous
+        # solution nor a decoupling failure ever costs a solution
         if (
             fallback_flat
-            and warm_start == "prev"
+            and (warm_start == "prev" or method == "fdpf")
             and not out["converged"].all()
         ):
             bad = np.flatnonzero(~out["converged"])
@@ -192,5 +244,6 @@ def solve_ac(
             out["fallback_grids"] = 0
             out["fallback_iterations"] = 0
     out["warm_start"] = warm_start
+    out["method"] = method
     out["compact_after"] = compact_after
     return out

@@ -117,3 +117,35 @@ def test_resolve_compact_after_measures_rtt():
     # forced break-evens pin both sides of the auto rule
     assert resolve_compact_after("auto", rtt_breakeven=rtt * 2) == 3
     assert resolve_compact_after("auto", rtt_breakeven=rtt / 2) == 0
+
+
+def test_method_auto_resolves_fdpf_same_fixed_point():
+    """Round-4 solver policy: method="auto" resolves to the
+    fast-decoupled solver (measured >= parity everywhere, up to 3.2x —
+    docs/FDPF_BENCH.json), with the same fixed point as forced Newton."""
+    cases = _cases()
+    auto = solve_ac(cases)
+    assert auto["method"] == "fdpf"
+    nr = solve_ac(cases, method="nr")
+    assert nr["method"] == "nr"
+    assert auto["converged"].all() and nr["converged"].all()
+    np.testing.assert_allclose(auto["v"], nr["v"], atol=1e-4)
+    with pytest.raises(ValueError):
+        solve_ac(cases, method="qr")
+
+
+def test_method_fdpf_gns_arm_uses_fused_fdpf_tail():
+    """The gns arm honors the method: hybrid_solve(solver='fdpf') fuses
+    the fast-decoupled loop into the same program as the forward."""
+    from gns_tpu.models.pretrained import available_cases, load_pretrained
+
+    if "14-sup" not in available_cases():
+        pytest.skip("14-sup checkpoint not shipped")
+    params, cfg = load_pretrained("14-sup")
+    cases = _cases()
+    out = solve_ac(cases, params=params, cfg=cfg, warm_start="gns",
+                   method="fdpf")
+    assert out["method"] == "fdpf"
+    assert out["converged"].all()
+    nr = solve_ac(cases, method="nr")
+    np.testing.assert_allclose(out["v"], nr["v"], atol=1e-4)

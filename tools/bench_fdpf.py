@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--grids", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--gns", action="store_true",
+                    help="also A/B the fused GNS hybrid's exact-solve "
+                         "tail: hybrid_solve(solver='nr') vs 'fdpf', "
+                         "using the shipped {case}-sup checkpoint")
     args = ap.parse_args()
 
     import numpy as np
@@ -109,6 +113,30 @@ def main():
             t["hot_fdpf"] = min(t["hot_fdpf"], time.perf_counter() - t0)
             it["hot_fdpf"] = int(r["iterations"])
 
+        if args.gns:
+            from gns_tpu.eval.hybrid import hybrid_solve
+            from gns_tpu.models.pretrained import load_pretrained
+
+            params, cfg = load_pretrained(f"{case}-sup")
+            h_nr = hybrid_solve(params, cfg, cases)  # warm-up/compile
+            h_fd = hybrid_solve(params, cfg, cases, solver="fdpf",
+                                max_iter=60)
+            hboth = h_nr["converged"] & h_fd["converged"]
+            dvh = float(np.abs(h_fd["v"] - h_nr["v"])[hboth].max())
+            assert dvh < 1e-4, f"hybrid fixed points disagree: {dvh}"
+            t["gns_nr"] = t["gns_fdpf"] = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                r = hybrid_solve(params, cfg, cases)
+                t["gns_nr"] = min(t["gns_nr"], time.perf_counter() - t0)
+                it["gns_nr"] = int(r["iterations"])
+                t0 = time.perf_counter()
+                r = hybrid_solve(params, cfg, cases, solver="fdpf",
+                                 max_iter=60)
+                t["gns_fdpf"] = min(t["gns_fdpf"],
+                                    time.perf_counter() - t0)
+                it["gns_fdpf"] = int(r["iterations"])
+
         row = {
             "bench": "fdpf_vs_nr", "case": case, "grids": len(cases),
             "fdpf_converged": conv_fd, "max_dv_vs_nr": dv,
@@ -120,6 +148,12 @@ def main():
             "hot_speedup": round(t["hot_nr"] / t["hot_fdpf"], 3),
             "iters": it,
         }
+        if args.gns:
+            row.update({
+                "t_gns_nr_s": round(t["gns_nr"], 4),
+                "t_gns_fdpf_s": round(t["gns_fdpf"], 4),
+                "gns_speedup": round(t["gns_nr"] / t["gns_fdpf"], 3),
+            })
         rows.append(row)
         print(json.dumps(row))
 
