@@ -129,6 +129,7 @@ def screen_n1(
     tol: float = 3e-5,
     max_iter: int = 20,
     compact_after: int = 3,
+    method: str = "auto",
     warm: str = "base",
     params=None,
     cfg: Optional[GNSConfig] = None,
@@ -225,6 +226,7 @@ def screen_n1(
         if params is not None:
             res = solve_ac(
                 group, params=params, cfg=cfg, warm_start="gns",
+                method=method,
                 tol=tol, max_iter=max_iter, chunk_size=len(group),
                 compact_after=compact_after, fallback_flat=False,
             )
@@ -236,12 +238,14 @@ def screen_n1(
                     np.repeat(base_sol[0], s, axis=0),
                     np.repeat(base_sol[1], s, axis=0),
                 ),
+                method=method,
                 tol=tol, max_iter=max_iter, chunk_size=len(group),
                 compact_after=compact_after, fallback_flat=False,
             )
         else:
             res = solve_ac(
-                group, warm_start="flat", tol=tol, max_iter=max_iter,
+                group, warm_start="flat", method=method,
+                tol=tol, max_iter=max_iter,
                 chunk_size=len(group), compact_after=compact_after,
             )
         ii = np.asarray(idx)
@@ -352,6 +356,7 @@ def screen_n1_ranked(
     tol: float = 3e-5,
     max_iter: int = 20,
     compact_after: int = 3,
+    method: str = "auto",
     encode_impedance: bool = True,
     gen_pq_conversion: bool = True,
     v_limits=(0.94, 1.06),
@@ -456,7 +461,7 @@ def screen_n1_ranked(
     if top_k:
         sub = _verify_subset(
             variants, verified_idx, {"v": pv, "theta": pth},
-            tol, max_iter, compact_after,
+            tol, max_iter, compact_after, method=method,
         )
         conv[verified_idx] = sub["converged"]
         v[verified_idx] = sub["v"]
@@ -497,6 +502,7 @@ def _verify_subset(
     tol: float,
     max_iter: int,
     compact_after,
+    method: str = "auto",
 ) -> Dict:
     """Newton-verify the selected variants, warm-started by the GNS
     prediction already in hand (no second forward), grouped by bus-type
@@ -521,6 +527,7 @@ def _verify_subset(
             [variants[i] for i in gidx],
             warm_start="prev",
             prev=(pred["v"][gidx], pred["theta"][gidx]),
+            method=method,
             tol=tol, max_iter=max_iter, chunk_size=len(gidx),
             compact_after=compact_after, fallback_flat=False,
         )

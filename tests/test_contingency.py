@@ -208,3 +208,23 @@ def test_n1_variants_reject_missing_status_column():
     case["branch"] = np.asarray(case["branch"])[:, :10]
     with pytest.raises(ValueError):
         n1_variants(case)
+
+
+def test_screen_method_fdpf_same_verdicts():
+    """The screen inherits solve_ac's solver axis: method='fdpf' (the
+    round-4 fast-decoupled solver) reproduces full Newton's convergence
+    verdicts — including islanded variants, whose singular B' yields a
+    non-finite iterate that is reported non-converged exactly like
+    Newton's divergence — and the same violation counts. Measured on the
+    authentic case118 screen: identical verdicts at 2.2x (branch-only)
+    / 1.3x (incl. gen-outage groups) wall speedup (docs/N1_SCREEN.md)."""
+    case = load_case(14)
+    nr = screen_n1(case, gen_outages=True, method="nr")
+    fd = screen_n1(case, gen_outages=True, method="fdpf")
+    assert (nr["converged"] == fd["converged"]).all()
+    both = nr["converged"] & fd["converged"]
+    assert np.nanmax(np.abs(nr["v"][both] - fd["v"][both])) < 5e-5
+    assert (
+        np.asarray(nr["v_violations"])[both]
+        == np.asarray(fd["v_violations"])[both]
+    ).all()
