@@ -146,6 +146,67 @@ _PRETRAINED["multi-deep-paper"] = (
          dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
          grad_clip=1.0, warmup_steps=300, init_correction_scale=0.1),
 )
+# "30-deep-paper" (round 4b) — the case30 deep specialist by the recipe
+# that fixed the K4 one (ROADMAP #7): gentle lr-1e-4 fine-tune of
+# multi-deep-paper on the case30 paper objective (tools/exp_30_deep.py).
+# v MSE vs NR 0.00496 — past 30-sup (0.00606), the first case30 model
+# to beat the K4 supervised fine-tune. (Cold-start deep: 0.0067.)
+_PRETRAINED["30-deep-paper"] = (
+    "pretrained_c30_K8_L40_H10_paper.pth",
+    dict(case_nr=30, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         init_correction_scale=0.1),
+)
+# "{c}-deep-sup" (round 4b) — Newton-Raphson-label fine-tunes of the
+# deep-paper checkpoints (tools/train_supervised.py --K 8 --latent 40
+# --warm-start {c}-deep-paper --true-shunts [--grad-clip 1.0]): the
+# most accurate models shipped, full stop. v MSE vs the NR oracle on
+# the standard 64-feasible-grid held-out sets:
+#   14-deep-sup  1.4e-5  (4.2x better than 14-deep-paper's 5.9e-5,
+#                         39x better than the K4 14-sup)
+#   118-deep-sup 6.3e-5  (2.3x better than 118-deep-paper's 1.44e-4;
+#                         beats the deep generalist's 8.3e-5 — the
+#                         label signal overcomes the cross-case
+#                         regularization advantage)
+_PRETRAINED["14-deep-sup"] = (
+    "pretrained_c14_K8_L40_H10_sup.pth",
+    dict(case_nr=14, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True, true_shunts=True),
+)
+_PRETRAINED["118-deep-sup"] = (
+    "pretrained_c118_K8_L40_H10_sup.pth",
+    dict(case_nr=118, K=8, latent_dim=40, hidden_dim=10,
+         multiple_phi=True, reference_parity=False, qg_gen_only=True,
+         true_shunts=True),
+)
+# "30-deep-sup" — the same chain one level further: NR-label fine-tune
+# of 30-deep-paper. v MSE vs NR 0.00184 — 3.3x better than the K4
+# 30-sup (0.00606) on the hardest shipped unsupervised case.
+_PRETRAINED["30-deep-sup"] = (
+    "pretrained_c30_K8_L40_H10_sup.pth",
+    dict(case_nr=30, K=8, latent_dim=40, hidden_dim=10,
+         multiple_phi=True, reference_parity=False, qg_gen_only=True,
+         true_shunts=True),
+)
+# "9-deep-sup" — NR-label fine-tune warm-started from the deep
+# GENERALIST (no 9-deep-paper specialist exists; multi-deep-paper's c9
+# 9.5e-5 is the best starting point). v MSE vs NR 5e-6 — 80x better
+# than the K4 9-sup (0.00040), the most accurate checkpoint shipped.
+_PRETRAINED["9-deep-sup"] = (
+    "pretrained_c9_K8_L40_H10_sup.pth",
+    dict(case_nr=9, K=8, latent_dim=40, hidden_dim=10,
+         multiple_phi=True, reference_parity=False, qg_gen_only=True,
+         true_shunts=True),
+)
+# "300-deep-sup" — NR-label fine-tune of 300-deep-paper (augmentation
+# scale 0.5, stand-in table: starred like every c300 accuracy number).
+# v MSE vs NR 0.000242* — 2.6x better than the K4 300-sup (0.00063*).
+_PRETRAINED["300-deep-sup"] = (
+    "pretrained_c300_K8_L40_H10_sup.pth",
+    dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10,
+         multiple_phi=True, reference_parity=False, qg_gen_only=True),
+)
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),

@@ -53,6 +53,11 @@ def test_variant_checkpoints_load():
         ("300-deep", 300, 1.0), ("multi", 14, 1.0),
         ("300-deep-paper", 300, 0.5), ("multi-paper", 14, 1.0),
         ("multi-sup", 14, 1.0), ("14-n1", 14, 1.0), ("118-n1", 118, 1.0),
+        ("14-deep-paper", 14, 1.0), ("118-deep-paper", 118, 1.0),
+        ("multi-deep-paper", 14, 1.0), ("multi-n1", 30, 1.0),
+        ("14-deep-sup", 14, 1.0), ("118-deep-sup", 118, 1.0),
+        ("30-deep-paper", 30, 1.0), ("30-deep-sup", 30, 1.0),
+        ("9-deep-sup", 9, 1.0), ("300-deep-sup", 300, 0.5),
     ] + [
         (f"{c}-paper", c, 0.5 if c == 300 else 1.0)
         for c in (9, 14, 30, 118, 300)
