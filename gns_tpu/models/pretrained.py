@@ -207,6 +207,21 @@ _PRETRAINED["300-deep-sup"] = (
     dict(case_nr=300, K=8, latent_dim=40, hidden_dim=10,
          multiple_phi=True, reference_parity=False, qg_gen_only=True),
 )
+# "multi-deep-sup" (round 4b) — NR-label fine-tune of multi-deep-paper
+# (tools/train_pretrained_extras.py --which multi-deep-sup). v MSE vs
+# NR: c9 0.000169 / c14 0.00111 / c30 0.00645 / c118 7.8e-5 / c300*
+# 0.000338 — beats the K4 multi-sup on 9/30/118/300 and is the best
+# GENERALIST on 30/118/300; multi-deep-paper keeps 9/14 (the label
+# fine-tune trades a little of the unsupervised generalist's floor on
+# the small cases for real gains where labels carry signal — the
+# honest, measured split).
+_PRETRAINED["multi-deep-sup"] = (
+    "pretrained_multi_K8_L40_H10_sup.pth",
+    dict(case_nr=0, K=8, latent_dim=40, hidden_dim=10, multiple_phi=True,
+         reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         grad_clip=1.0, warmup_steps=300, init_correction_scale=0.1),
+)
 _PRETRAINED["multi"] = (
     "pretrained_multi_K4_L20_H10.pth",
     dict(case_nr=0, **_BEST),

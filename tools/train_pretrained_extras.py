@@ -42,6 +42,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", nargs="+", default=["deep300", "multi"],
                     help="deep300 | multi | multi-paper | multi-sup | "
+                         "multi-deep-sup (NR-label fine-tune of "
+                         "multi-deep-paper, K8/L40) | "
                          "deep300-paper (K=8/L40 with textbook physics + "
                          "the quirk-Q8 fix at augmentation scale 0.5); "
                          "multi-sup = NR-label fine-tune of multi-paper")
@@ -164,13 +166,21 @@ def main():
             "path": os.path.relpath(path, REPO),
         }), flush=True)
 
-    if "multi-sup" in args.which:
-        # Supervised fine-tune of the multi-paper generalist (VERDICT r2
-        # item 7): the generalist is already the most accurate case30
-        # model (cross-case training regularizes against branch drift,
-        # ROADMAP #7) and NR-label fine-tuning lifted every specialist —
-        # this combines both. Same per-case buckets as multi-paper, NR
-        # labels from the float64 oracle, warm-started from multi-paper.
+    for sup_key, warm_key, fname in (
+        ("multi-sup", "multi-paper", "pretrained_multi_K4_L20_H10_sup.pth"),
+        ("multi-deep-sup", "multi-deep-paper",
+         "pretrained_multi_K8_L40_H10_sup.pth"),
+    ):
+      if sup_key not in args.which:
+        continue
+      if True:
+        # Supervised fine-tune of the (multi-/multi-deep-)paper
+        # generalist (VERDICT r2 item 7): the generalist is already the
+        # most accurate case30 model (cross-case training regularizes
+        # against branch drift, ROADMAP #7) and NR-label fine-tuning
+        # lifted every specialist — this combines both. Same per-case
+        # buckets, NR labels from the float64 oracle. The architecture
+        # (K4 or the deep K8/L40) is inherited from the warm start.
         from gns_tpu.eval.harness import compute_metrics, run_gns, run_nr_oracle
         from gns_tpu.models.pretrained import load_pretrained
         from gns_tpu.train.supervised import (
@@ -183,10 +193,13 @@ def main():
 
         cases = [9, 14, 30, 118, 300]
         scales = {9: 1.0, 14: 1.0, 30: 1.0, 118: 1.0, 300: 0.5}
-        warm_params, wcfg = load_pretrained("multi-paper")
+        warm_params, wcfg = load_pretrained(warm_key)
         cfg = wcfg.replace(
             epochs=args.epochs, early_stop_patience=args.patience,
-            batch_size=128, seed=0, grad_clip=args.grad_clip,
+            batch_size=128, seed=0,
+            # keep the warm start's clip unless the caller overrides:
+            # the stiff authentic 118 bucket needs it (CLAUDE.md)
+            grad_clip=args.grad_clip or wcfg.grad_clip,
         )
         per = max(8, args.grids // len(cases))
         datasets, label_sets = [], []
@@ -204,7 +217,7 @@ def main():
         best, history = train_supervised_multi(
             cfg, datasets, label_sets, state=state
         )
-        path = os.path.join(ASSET_DIR, "pretrained_multi_K4_L20_H10_sup.pth")
+        path = os.path.join(ASSET_DIR, fname)
         export_torch(path, best, cfg)
         v_mses = {}
         for c in cases:
@@ -216,7 +229,7 @@ def main():
             )
             v_mses[f"c{c}"] = round(m["v_mse"], 6)
         print(json.dumps({
-            "which": "multi-sup", "cases": cases,
+            "which": sup_key, "cases": cases,
             "epochs_run": len(history),
             "train_sec": round(time.perf_counter() - t0, 1),
             "v_mse_vs_nr": v_mses,
