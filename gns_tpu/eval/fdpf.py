@@ -192,6 +192,13 @@ def _fdpf_solve(injections, bp_inv, bpp_inv, p_sched, q_sched, vm0, va0,
     "still shrinking" looks different from Newton's quadratic drops)."""
     n_pvpq = pvpq.shape[0]
     stall_cap = jnp.minimum(_STALL_TOL, 10.0 * tol)
+    # Pin the B-inverse application too: measured a no-op today (the
+    # batched matvec lowers off the MXU, iteration counts identical at
+    # default precision — lock-step counts are set by the worst straggler
+    # in the batch, which grows with batch size), but if a future XLA
+    # lowers "smk,sk->sm" onto the MXU at bf16 the update directions
+    # would silently degrade. HIGHEST costs S*M^2 flops — noise.
+    hi = jax.lax.Precision.HIGHEST
 
     def f_of(p, q):
         return jnp.concatenate(
@@ -206,12 +213,12 @@ def _fdpf_solve(injections, bp_inv, bpp_inv, p_sched, q_sched, vm0, va0,
         vm, va, p, q, conv, it, itg, fprev = state
         # P half-step: B' dtheta = dP / Vm  (pypower fdpf conventions)
         fp = (p - p_sched)[:, pvpq] / vm[:, pvpq]
-        dva = jnp.einsum("smk,sk->sm", bp_inv, fp)
+        dva = jnp.einsum("smk,sk->sm", bp_inv, fp, precision=hi)
         va = va.at[:, pvpq].add(-jnp.where(conv[:, None], 0.0, dva))
         p, q = injections(vm, va)
         # Q half-step: B'' dVm = dQ / Vm
         fq = (q - q_sched)[:, pq] / vm[:, pq]
-        dvm = jnp.einsum("smk,sk->sm", bpp_inv, fq)
+        dvm = jnp.einsum("smk,sk->sm", bpp_inv, fq, precision=hi)
         vm = vm.at[:, pq].add(-jnp.where(conv[:, None], 0.0, dvm))
         p, q = injections(vm, va)
 

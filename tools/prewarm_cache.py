@@ -73,6 +73,48 @@ def main():
         print(f"  {label}: compiled train+eval in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
 
+    def compile_solvers(case, chunk):
+        """Lower+compile the batched solver cores (NR / fast-decoupled /
+        DC) at the production chunk shape without running a solve — the
+        base case repeated `chunk` times has exactly the deployed
+        shapes."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from gns_tpu.eval.dcpf import _dc_core
+        from gns_tpu.eval.fdpf import _fdpf_core
+        from gns_tpu.eval.nr_batched import (
+            _nr_core,
+            build_nr_small_stacked,
+            stack_cases,
+        )
+        from gns_tpu.utils.cases import load_case
+
+        t0 = time.perf_counter()
+        cases = [load_case(case)] * chunk
+        bus, branch, gen, base = stack_cases(cases)
+        ns = build_nr_small_stacked(bus, branch, gen, base)
+        f = branch[0, :, 0].astype(np.int32) - 1
+        t = branch[0, :, 1].astype(np.int32) - 1
+        has_status = branch.shape[2] > 10
+        a = (jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
+             jnp.asarray(base, jnp.float32), jnp.asarray(ns.p_sched),
+             jnp.asarray(ns.q_sched), jnp.asarray(ns.vm0),
+             jnp.asarray(ns.va0), jnp.asarray(ns.pvpq), jnp.asarray(ns.pq))
+        _nr_core(f, t, (bus.shape, branch.shape), has_status).lower(
+            *a, 3e-5, jnp.asarray(20, jnp.int32)).compile()
+        _fdpf_core(f, t, (bus.shape, branch.shape), has_status,
+                   "XB").lower(*a, 3e-5, jnp.asarray(60, jnp.int32)).compile()
+        types = bus[0, :, 1].astype(int)
+        slack = int(np.flatnonzero(types == 3)[0])
+        nonslack = np.flatnonzero(types != 3).astype(np.int32)
+        _dc_core(f, t, (bus.shape, branch.shape), has_status, slack,
+                 nonslack).lower(
+            a[0], a[1], jnp.asarray(gen, jnp.float32), a[2],
+            jnp.asarray(ns.p_sched)).compile()
+        print(f"  solvers chunk{chunk}: compiled NR+FDPF+DC in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
     for case in args.cases:
         print(f"case{case}:", flush=True)
         cfg = GNSConfig(
@@ -87,6 +129,7 @@ def main():
         if args.parity:
             pcfg = cfg.replace(compute_dtype="float32", reference_parity=True)
             compile_for(pcfg, args.batch, "parity f32")
+        compile_solvers(case, args.batch)
     print("cache warm:", os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                         "~/.jax_cache"))
 
