@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--pretrained", action="store_true", default=True,
                     help="use the shipped checkpoints (default)")
     ap.add_argument("--random-init", dest="pretrained", action="store_false")
+    ap.add_argument("--checkpoint", default=None,
+                    help="pretrained variant suffix (e.g. 'deep-sup' -> "
+                         "loads '{case}-deep-sup'): bench the deep "
+                         "accuracy flagships' serving cost")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +48,8 @@ def main():
 
     for case in args.cases:
         if args.pretrained:
-            params, cfg = load_pretrained(case)
+            key = f"{case}-{args.checkpoint}" if args.checkpoint else case
+            params, cfg = load_pretrained(key)
         else:
             cfg = GNSConfig(case_nr=case)
             params = init_gns_params(jax.random.key(0), cfg)

@@ -134,9 +134,17 @@ def main():
             })
             print(json.dumps(rows[-1]), flush=True)
 
+    # replace this experiment's own per-case rows, PRESERVE rows other
+    # tools appended (bench_fdpf screen rows, exp_dc_ranking — they have
+    # a "row" key; a plain overwrite silently dropped them once)
+    kept = []
+    if os.path.exists(args.json_out):
+        with open(args.json_out) as fh:
+            kept = [r for r in json.load(fh) if "row" in r]
     with open(args.json_out, "w") as fjson:
-        json.dump(rows, fjson, indent=1)
-    print(f"wrote {args.json_out}", file=sys.stderr)
+        json.dump(rows + kept, fjson, indent=1)
+    print(f"wrote {args.json_out} ({len(rows)} screen rows + "
+          f"{len(kept)} preserved)", file=sys.stderr)
 
 
 if __name__ == "__main__":
