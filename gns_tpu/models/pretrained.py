@@ -353,6 +353,23 @@ _PRETRAINED["118-n1"] = (
          dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
          admittance_inputs=True, grad_clip=1.0, warmup_steps=300, **_BEST),
 )
+# "118-deep-n1" (round 4b) — the deep AWARE model, shipped for RANKING
+# (tools/exp_deep_ranking.py). Absolute accuracy still loses to deep
+# blind (ROADMAP 9a': outage severity sits below even the halved
+# floor), but the ranked screen needs only ORDER, and the deep aware's
+# ~2.3x-lower floor gives its deviation score more signal-to-noise:
+# ranked-screen recall of the true worst set on the full authentic
+# case118 outage set 0.619 @ k=16/32 vs the K4 118-n1's 0.524 (tie
+# 0.81 @ k=64). Use it for screen_n1_ranked; use 118-deep-sup for
+# state accuracy.
+_PRETRAINED["118-deep-n1"] = (
+    "pretrained_c118_K8_L40_H10_n1.pth",
+    dict(case_nr=118, K=8, latent_dim=40, hidden_dim=10,
+         multiple_phi=True, reference_parity=False, qg_gen_only=True,
+         dispatch="setpoint_slack", true_shunts=True, v_anchor=0.1,
+         admittance_inputs=True, grad_clip=1.0, warmup_steps=300,
+         init_correction_scale=0.1),
+)
 
 # Round-4 growth of the n1 family (tools/exp_multi_n1.py): "multi-n1" is
 # the admittance-space GENERALIST (one model, outage-augmented grids of
