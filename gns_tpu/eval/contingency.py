@@ -147,13 +147,19 @@ def screen_n1(
     column (reference GNS/utils.py:29-33 selects r/x/b/tau/shift only),
     so its prediction approximates the pre-contingency state — measured
     slower than warm="base" at these scales because it also pays the
-    forward. compact_after=3 by default — screening is the regime where
-    the per-grid exit genuinely pays (measured 1.35x, 912 -> 674 ms on
-    the case118 N-1 set): islanded variants NEVER converge, so lock-step
-    would spin the whole batch to max_iter on their account, while the
-    exit quarantines them into a small sub-batch after 3 iterations.
-    Non-converged contingencies are REPORTED, never silently re-solved
-    (no fallback: an islanded variant fails from any start).
+    forward. method="auto" (round 4b) resolves the solver axis to the
+    fast-decoupled loop (eval/fdpf.py; identical verdicts incl.
+    islanding, tests/test_contingency.py), and bus-type groups dispatch
+    on a thread pool so their fetch round trips overlap — the full
+    authentic-case118 set (239 contingencies) screens in 0.47 s
+    (branch-only 0.20 s; the round-4 Newton-serialized screen took
+    2.42 s). compact_after=3 applies only to method="nr" — there the
+    per-grid exit pays exactly here (measured 1.35x: islanded variants
+    NEVER converge, so lock-step would spin the whole batch to max_iter
+    on their account); a fast-decoupled iteration is two matvecs, so
+    fdpf ignores it. Non-converged contingencies are REPORTED, never
+    silently re-solved (no fallback: an islanded variant fails from any
+    start).
 
     Returns {
       "outages":       list of ("branch"|"gen", index),

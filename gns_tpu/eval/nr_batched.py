@@ -559,11 +559,25 @@ def solve_mixed(
     mismatch = np.zeros(s, np.float32)
     stalled = np.zeros(s, bool)
     iterations = 0
-    for idx in sigs.values():
-        sub = solve_batched(
+
+    def _solve(idx):
+        return solve_batched(
             [cases[i] for i in idx], tol=tol, max_iter=max_iter,
             chunk_size=chunk_size, compact_after=compact_after,
         )
+
+    # topology groups are independent programs; on a high-RTT relay each
+    # costs a blocking fetch round trip — overlap them on a small thread
+    # pool exactly like the N-1 screens (eval/contingency.py)
+    groups = list(sigs.values())
+    if len(groups) == 1:
+        results = [_solve(groups[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(groups))) as ex:
+            results = list(ex.map(_solve, groups))
+    for idx, sub in zip(groups, results):
         n = sub["v"].shape[1]
         ii = np.asarray(idx)
         v[ii, :n] = sub["v"]
