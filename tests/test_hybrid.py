@@ -97,6 +97,11 @@ def test_solve_mixed_groups_heterogeneous_topologies():
     np.testing.assert_allclose(out["v"][5, :30], ref30["v"][1], atol=1e-6)
     assert np.isnan(out["v"][0, 9:]).all()  # padding beyond case9's buses
     assert out["n_bus"].tolist() == [9, 30, 14, 14, 9, 30, 14, 9, 30]
+    # method="fdpf" (round 4b, routed through solve_ac per group with
+    # the Newton fallback): same fixed points, same group structure
+    fd = solve_mixed(mixed, method="fdpf")
+    assert fd["converged"].all() and fd["n_groups"] == 3
+    np.testing.assert_allclose(fd["v"][0, :9], ref9["v"][0], atol=5e-5)
 
 
 def test_device_assembly_matches_host_complex_path():
