@@ -44,6 +44,15 @@ measured FASTER than every round-3 hand-picked Newton arm: cold
 1.10-2.38x, hot 1.06-2.24x, flat 1.17-2.81x across cases 14/30/118/300
 (docs/HYBRID_BENCH_R4.json "run_c_fdpf").
 
+The solver axis feeds back into the warm-start policy: under fdpf the
+gns arm never pays on COLD starts (iterations are so cheap that the
+2-3 saved pairs cannot cover the fused forward — the 9a''
+warm-start-saturation result, amplified; run_c_fdpf measured auto's
+gns-cold ~14% behind its own flat arm on case118), so auto resolves
+cold starts to flat under fdpf ("run_d_cold_policy" proves auto_cold
+== the flat arm). The gns hybrid remains one explicit override away
+and stays auto's cold arm under method="nr".
+
 All arms return the SAME fixed point (Newton's root does not depend on
 its start; asserted in tests) and the same result schema, and all are
 protected by the flat-start fallback (a bad warm start can leave Newton's
@@ -117,11 +126,15 @@ def solve_ac(
     """Solve `cases` (shared topology) exactly; pick the warm start for me.
 
     warm_start:
-      "auto" (default) — "prev" if `prev` is given, else "gns" if
-          `params` are given AND the gns arm pays on this deployment
-          (always on low-RTT hardware; from 100 buses on a high-RTT
-          relay — the measured break-even, see module docstring), else
-          "flat". The resolved arm is recorded in the result under
+      "auto" (default) — "prev" if `prev` is given; else, under
+          method="nr", "gns" if `params` are given AND the gns arm
+          pays on this deployment (always on low-RTT hardware; from
+          100 buses on a high-RTT relay — the measured round-3
+          break-even); else "flat". Under the fast-decoupled method
+          (the method="auto" resolution) cold starts always resolve to
+          "flat" — measured: the gns arm's saved pairs never cover its
+          fused forward there (module docstring, HYBRID_BENCH_R4
+          run_d). The resolved arm is recorded in the result under
           "warm_start".
       "prev" — seed from `prev`: a previous solve's result dict (its
           "v"/"theta_deg") or a raw (v (S,N), theta_rad (S,N)) tuple.
@@ -164,17 +177,6 @@ def solve_ac(
     """
     from gns_tpu.eval.nr_batched import resolve_compact_after, solve_batched
 
-    if warm_start == "auto":
-        if prev is not None:
-            warm_start = "prev"
-        elif params is not None and _gns_warm_pays(cases):
-            warm_start = "gns"
-        else:
-            warm_start = "flat"
-    if warm_start not in ("prev", "gns", "flat"):
-        raise ValueError(
-            f"warm_start must be auto|prev|gns|flat, got {warm_start!r}"
-        )
     if method == "auto":
         # measured >= parity on every (case, scenario) cell, up to 3.2x
         # (docs/FDPF_BENCH.json); robustness is covered by the Newton
@@ -182,6 +184,30 @@ def solve_ac(
         method = "fdpf"
     if method not in ("nr", "fdpf"):
         raise ValueError(f"method must be auto|nr|fdpf, got {method!r}")
+    if warm_start == "auto":
+        if prev is not None:
+            warm_start = "prev"
+        elif (
+            params is not None
+            and method == "nr"
+            and _gns_warm_pays(cases)
+        ):
+            # Under the fast-decoupled solver the GNS warm start never
+            # pays on cold starts: iterations are so cheap that the 2-3
+            # saved half-step pairs (~0.5 ms device) cannot cover the
+            # fused forward (measured flat-fdpf <= gns-fdpf on every
+            # case, both wall and the device-time argument —
+            # docs/FDPF_BENCH.json cold vs gns rows; the 9a''
+            # warm-start-saturation result, amplified). auto therefore
+            # resolves cold starts to "flat" for fdpf; pass
+            # warm_start="gns" to force the fused hybrid.
+            warm_start = "gns"
+        else:
+            warm_start = "flat"
+    if warm_start not in ("prev", "gns", "flat"):
+        raise ValueError(
+            f"warm_start must be auto|prev|gns|flat, got {warm_start!r}"
+        )
     compact_after = resolve_compact_after(compact_after)
     if method == "fdpf":
         from gns_tpu.eval.fdpf import solve_batched_fdpf

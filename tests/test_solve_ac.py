@@ -41,10 +41,19 @@ def test_auto_resolves_gns_with_params():
     params, cfg = load_pretrained("14-sup")
     cases = _cases()
     flat = solve_ac(cases)
+    # under the default method (auto -> fdpf) the gns arm never pays on
+    # cold starts (measured, docs/FDPF_BENCH.json) — auto resolves flat
     auto = solve_ac(cases, params=params, cfg=cfg)
-    assert auto["warm_start"] == "gns"
-    assert auto["converged"].all()
-    np.testing.assert_allclose(auto["v"], flat["v"], atol=5e-4)
+    assert auto["warm_start"] == "flat" and auto["method"] == "fdpf"
+    # with the Newton method the round-3 break-even policy still applies
+    auto_nr = solve_ac(cases, params=params, cfg=cfg, method="nr")
+    assert auto_nr["warm_start"] == "gns"
+    assert auto_nr["converged"].all()
+    np.testing.assert_allclose(auto_nr["v"], flat["v"], atol=5e-4)
+    # the fused gns+fdpf arm remains available as an explicit override
+    forced = solve_ac(cases, params=params, cfg=cfg, warm_start="gns")
+    assert forced["warm_start"] == "gns" and forced["method"] == "fdpf"
+    np.testing.assert_allclose(forced["v"], flat["v"], atol=5e-4)
     # prev STILL wins over gns when both are available
     both = solve_ac(cases, params=params, cfg=cfg, prev=flat)
     assert both["warm_start"] == "prev"
