@@ -157,9 +157,13 @@ def screen_n1(
     per-grid exit pays exactly here (measured 1.35x: islanded variants
     NEVER converge, so lock-step would spin the whole batch to max_iter
     on their account); a fast-decoupled iteration is two matvecs, so
-    fdpf ignores it. Non-converged contingencies are REPORTED, never
-    silently re-solved (no fallback: an islanded variant fails from any
-    start).
+    fdpf ignores it. Non-converged contingencies are REPORTED as the
+    islanding signal — with one guard (round 5): structural bridges are
+    the only outages that cannot converge, so a non-bridge failure
+    (e.g. a fast-decoupled stall on a high-r/x user grid) gets ONE
+    full-Newton flat re-solve before the verdict; islanded variants are
+    never re-solved (they fail from any start, a re-solve only burns a
+    dispatch).
 
     Returns {
       "outages":       list of ("branch"|"gen", index),
@@ -276,6 +280,43 @@ def screen_n1(
         v[ii] = res["v"]
         theta[ii] = res["theta_deg"]
         itg[ii] = res["iterations_per_grid"]
+
+    # The screen's contract reads non-convergence as the islanding
+    # signal, but with method="auto" the solver is fast-decoupled, which
+    # can fail on non-islanded variants full Newton handles (high r/x
+    # ratios break the B'/B'' decoupling assumption). Structural bridges
+    # are the only outages that CANNOT converge (gen outages never
+    # island), so any other failure gets one full-Newton re-solve before
+    # being reported — on the shipped IEEE tables this set is empty and
+    # costs nothing; on user-supplied distribution-style grids it keeps
+    # a solvable contingency from being mis-reported as islanded.
+    if method != "nr" and (~conv).any():
+        bridge_rows = (set(find_bridges(case).tolist())
+                       if branch_outages else set())
+        retry = [
+            i for i in np.flatnonzero(~conv)
+            if not (variants[i]["outage"][0] == "branch"
+                    and variants[i]["outage"][1] in bridge_rows)
+        ]
+        # regroup by bus-type signature (the retry set can mix PV->PQ
+        # converted gen-outage variants with base-typed ones)
+        rsigs: Dict[bytes, list] = {}
+        for i in retry:
+            key = np.asarray(variants[i]["bus"])[:, 1].astype(
+                np.int8).tobytes()
+            rsigs.setdefault(key, []).append(i)
+        for ridx in rsigs.values():
+            res = solve_ac(
+                [variants[i] for i in ridx], warm_start="flat",
+                method="nr", tol=tol, max_iter=max_iter,
+                chunk_size=len(ridx), compact_after=compact_after,
+            )
+            ok = np.flatnonzero(res["converged"])
+            ii = np.asarray(ridx)[ok]
+            conv[ii] = True
+            v[ii] = res["v"][ok]
+            theta[ii] = res["theta_deg"][ok]
+            itg[ii] += res["iterations_per_grid"][ok]
 
     lo, hi = v_limits
     v_min = np.full(c, np.nan, np.float32)
@@ -568,4 +609,26 @@ def _verify_subset(
         out["converged"][rows] = res["converged"]
         out["v"][rows] = res["v"]
         out["theta_deg"][rows] = res["theta_deg"]
+    # Callers only verify non-islanded variants (stage 1 filtered the
+    # bridges), so ANY failure here is solver-side — a bad warm start or
+    # a fast-decoupled stall on high-r/x branches — and gets one
+    # full-Newton flat re-solve before being reported (cf. screen_n1's
+    # rescue; empty on the shipped tables).
+    if method != "nr" and (~out["converged"]).any():
+        rsigs = {}
+        for j in np.flatnonzero(~out["converged"]):
+            key = np.asarray(variants[idx[j]]["bus"])[:, 1].astype(
+                np.int8).tobytes()
+            rsigs.setdefault(key, []).append(int(j))
+        for rows in rsigs.values():
+            rows = np.asarray(rows)
+            res = solve_ac(
+                [variants[i] for i in idx[rows]], warm_start="flat",
+                method="nr", tol=tol, max_iter=max_iter,
+                chunk_size=len(rows), compact_after=compact_after,
+            )
+            ok = np.flatnonzero(res["converged"])
+            out["converged"][rows[ok]] = True
+            out["v"][rows[ok]] = res["v"][ok]
+            out["theta_deg"][rows[ok]] = res["theta_deg"][ok]
     return out

@@ -189,11 +189,25 @@ def lodf_matrix(case: Dict):
     s[:, ns] = np.linalg.solve(bbus[np.ix_(ns, ns)].T, bf[:, ns].T).T
     ptdf_br = s[:, f] - s[:, t]  # (E, E)
     denom = 1.0 - np.diag(ptdf_br)
-    # a bridge's self-PTDF is 1 only up to float64 rounding (measured
-    # ~1e-7 residuals on case118's radial spurs); below the threshold
-    # the branch is structurally islanding and its column is +/-inf —
-    # verified against Tarjan bridges (tests/test_dcpf.py)
-    bridge = np.abs(denom) < 1e-6
+    # Islanding authority is the STRUCTURAL bridge set (Tarjan; the same
+    # one the screens use), not the numeric |1 - self-PTDF| residual: a
+    # legitimately near-radial but non-bridge branch (e.g. paralleled by
+    # a very high-impedance path) has self-PTDF ~ 1 without islanding,
+    # and flagging it would report +inf severity for a solvable outage.
+    # The numeric test stays as a sanity check — a structural bridge's
+    # self-PTDF must be 1 up to float64 rounding (measured ~1e-7 on
+    # case118's radial spurs; tests/test_dcpf.py asserts set equality on
+    # the shipped tables).
+    from gns_tpu.eval.contingency import find_bridges
+
+    bridge = np.zeros(e, bool)
+    bridge[find_bridges(case)] = True
+    near_one = np.abs(denom) < 1e-6
+    if (bridge & ~near_one).any():
+        raise AssertionError(
+            "structural bridge with self-PTDF far from 1 — inconsistent "
+            f"branch data? rows {np.flatnonzero(bridge & ~near_one)}"
+        )
     with np.errstate(divide="ignore", invalid="ignore"):
         lodf = ptdf_br / np.where(bridge, 0.0, denom)[None, :]
     lodf[:, bridge] = np.inf

@@ -41,6 +41,7 @@ Shapes are static per (case, chunk-size): jit compiles once per bucket.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, NamedTuple
 
 import numpy as np
@@ -290,14 +291,22 @@ def _assemble_gb(bus, branch, base, f, t, has_status: bool):
 _CORE_CACHE: Dict[tuple, object] = {}
 _CACHE_CAP = 64
 
+# The screens and solve_mixed dispatch groups on a thread pool
+# (contingency.py), so the module-level program caches are touched
+# concurrently. Reads (`cache.get`) are GIL-atomic and a duplicate trace
+# is only wasted work (last-writer-wins on identical programs), but the
+# eviction loop iterates while popping — serialize all inserts.
+_CACHE_LOCK = threading.Lock()
+
 
 def _cache_put(cache: Dict[tuple, object], key: tuple, fn) -> None:
     """Insert with oldest-entry eviction past _CACHE_CAP (dicts preserve
     insertion order; good enough for the one-program-per-topology serving
-    contract without an LRU dependency)."""
-    while len(cache) >= _CACHE_CAP:
-        cache.pop(next(iter(cache)))
-    cache[key] = fn
+    contract without an LRU dependency). Thread-safe: see _CACHE_LOCK."""
+    with _CACHE_LOCK:
+        while len(cache) >= _CACHE_CAP:
+            cache.pop(next(iter(cache)))
+        cache[key] = fn
 
 
 def _pack_solution(vm, va, conv, it, itg, fmax):

@@ -60,11 +60,15 @@ def main():
     ap.add_argument("--v-anchor", type=float, default=0.0,
                     help="paper mode: weak (v-1)^2 high-voltage-branch "
                          "tie-breaker (GNSConfig.v_anchor)")
-    ap.add_argument("--grad-clip", type=float, default=0.0,
+    ap.add_argument("--grad-clip", type=float, default=None,
                     help="global-norm gradient clip for the paper-mode "
                          "variants (the authentic case118 bucket needs "
-                         "it, see train_pretrained.py --grad-clip)")
+                         "it, see train_pretrained.py --grad-clip). "
+                         "Default None = off for cold starts, inherited "
+                         "from the warm start for the fine-tunes; an "
+                         "explicit 0 disables clipping everywhere")
     args = ap.parse_args()
+    cold_grad_clip = 0.0 if args.grad_clip is None else args.grad_clip
 
     from gns_tpu.train.checkpoint import export_torch
     from gns_tpu.train.trainer import train, train_multi
@@ -97,7 +101,7 @@ def main():
             case_nr=300, K=8, latent_dim=40, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
             true_shunts=args.true_shunts, dispatch=args.dispatch,
-            v_anchor=args.v_anchor, grad_clip=args.grad_clip,
+            v_anchor=args.v_anchor, grad_clip=cold_grad_clip,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
@@ -131,7 +135,7 @@ def main():
             case_nr=0, K=4, latent_dim=20, hidden_dim=10,
             multiple_phi=True, reference_parity=False, qg_gen_only=True,
             true_shunts=args.true_shunts, dispatch=args.dispatch,
-            v_anchor=args.v_anchor, grad_clip=args.grad_clip,
+            v_anchor=args.v_anchor, grad_clip=cold_grad_clip,
             seed=0, epochs=args.epochs, early_stop_patience=args.patience,
             batch_size=128,
         )
@@ -199,7 +203,8 @@ def main():
             batch_size=128, seed=0,
             # keep the warm start's clip unless the caller overrides:
             # the stiff authentic 118 bucket needs it (CLAUDE.md)
-            grad_clip=args.grad_clip or wcfg.grad_clip,
+            grad_clip=(wcfg.grad_clip if args.grad_clip is None
+                       else args.grad_clip),
         )
         per = max(8, args.grids // len(cases))
         datasets, label_sets = [], []
