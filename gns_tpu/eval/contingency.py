@@ -136,6 +136,7 @@ def screen_n1(
     encode_impedance: bool = False,
     gen_pq_conversion: bool = True,
     v_limits=(0.94, 1.06),
+    mesh=None,
 ) -> Dict:
     """Screen every single outage of `case`; one batched dispatch.
 
@@ -215,7 +216,7 @@ def screen_n1(
 
     base_sol = None
     if params is None and warm == "base":
-        base = solve_batched([case], tol=tol, max_iter=max_iter)
+        base = solve_batched([case], tol=tol, max_iter=max_iter)  # one grid
         if base["converged"][0]:
             base_sol = (base["v"], np.deg2rad(base["theta_deg"]))
 
@@ -239,6 +240,7 @@ def screen_n1(
                 method=method,
                 tol=tol, max_iter=max_iter, chunk_size=len(group),
                 compact_after=compact_after, fallback_flat=False,
+                mesh=mesh,
             )
         if base_sol is not None:
             s = len(group)
@@ -251,11 +253,13 @@ def screen_n1(
                 method=method,
                 tol=tol, max_iter=max_iter, chunk_size=len(group),
                 compact_after=compact_after, fallback_flat=False,
+                mesh=mesh,
             )
         return solve_ac(
             group, warm_start="flat", method=method,
             tol=tol, max_iter=max_iter,
             chunk_size=len(group), compact_after=compact_after,
+            mesh=mesh,
         )
 
     # Groups are independent programs whose wall time is dominated by a
@@ -310,6 +314,7 @@ def screen_n1(
                 [variants[i] for i in ridx], warm_start="flat",
                 method="nr", tol=tol, max_iter=max_iter,
                 chunk_size=len(ridx), compact_after=compact_after,
+                mesh=mesh,
             )
             ok = np.flatnonzero(res["converged"])
             ii = np.asarray(ridx)[ok]
@@ -425,6 +430,7 @@ def screen_n1_ranked(
     gen_pq_conversion: bool = True,
     v_limits=(0.94, 1.06),
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Dict:
     """GNS-ranked fast N-1 screen: predict ALL, Newton-verify only top-k.
 
@@ -494,7 +500,8 @@ def screen_n1_ranked(
     # stage 2: one batched forward over variants + the intact case (the
     # intact prediction is the bias-cancelling reference for severity)
     predictor = GNSPredictor(
-        params, cfg, batch_size=batch_size or (c + 1), align_slack=True
+        params, cfg, batch_size=batch_size or (c + 1), align_slack=True,
+        mesh=mesh,
     )
     pred = predictor.predict(variants + [case])
     pv, pth = pred["v"][:c], pred["theta"][:c]
@@ -525,7 +532,7 @@ def screen_n1_ranked(
     if top_k:
         sub = _verify_subset(
             variants, verified_idx, {"v": pv, "theta": pth},
-            tol, max_iter, compact_after, method=method,
+            tol, max_iter, compact_after, method=method, mesh=mesh,
         )
         conv[verified_idx] = sub["converged"]
         v[verified_idx] = sub["v"]
@@ -567,6 +574,7 @@ def _verify_subset(
     max_iter: int,
     compact_after,
     method: str = "auto",
+    mesh=None,
 ) -> Dict:
     """Newton-verify the selected variants, warm-started by the GNS
     prediction already in hand (no second forward), grouped by bus-type
@@ -594,6 +602,7 @@ def _verify_subset(
             method=method,
             tol=tol, max_iter=max_iter, chunk_size=len(gidx),
             compact_after=compact_after, fallback_flat=False,
+            mesh=mesh,
         )
 
     # overlap the per-group fetch round trips (cf. screen_n1's pool)
@@ -626,6 +635,7 @@ def _verify_subset(
                 [variants[i] for i in idx[rows]], warm_start="flat",
                 method="nr", tol=tol, max_iter=max_iter,
                 chunk_size=len(rows), compact_after=compact_after,
+                mesh=mesh,
             )
             ok = np.flatnonzero(res["converged"])
             out["converged"][rows[ok]] = True

@@ -98,7 +98,8 @@ def _dc_core(f: np.ndarray, t: np.ndarray, shapes: tuple,
     return fn
 
 
-def solve_batched_dc(cases: List[Dict], chunk_size: int = 1024) -> Dict:
+def solve_batched_dc(cases: List[Dict], chunk_size: int = 1024,
+                     mesh=None) -> Dict:
     """DC power flow for a shared-topology case list, one batched solve.
 
     Returns {"theta_deg" (S, N), "pf_mw" (S, E) from-side branch flows,
@@ -107,10 +108,22 @@ def solve_batched_dc(cases: List[Dict], chunk_size: int = 1024) -> Dict:
     which surface as non-finite angles — check np.isfinite if the input
     may contain islands). Magnitudes are the DC assumption's flat
     profile; use solve_ac for exact states.
+
+    mesh: optional Mesh with a "dp" axis — shard each chunk's batch axis
+    across devices (parallel/solver_dp.py; the batched linear solves are
+    per-grid, so the SPMD program needs no collectives at all).
     """
+    from gns_tpu.parallel.solver_dp import pad_rows, padded_rows, put_dp
+
     outs_th, outs_pf, outs_sl = [], [], []
     for lo in range(0, len(cases), chunk_size):
         bus, branch, gen, base = stack_cases(cases[lo:lo + chunk_size])
+        k = bus.shape[0]
+        if mesh is not None:
+            target = padded_rows(k, mesh)
+            bus, branch, gen, base = (
+                pad_rows(a, target) for a in (bus, branch, gen, base)
+            )
         s, n = bus.shape[:2]
         types = bus[0, :, 1].astype(int)
         slack = int(np.flatnonzero(types == 3)[0])
@@ -129,10 +142,12 @@ def solve_batched_dc(cases: List[Dict], chunk_size: int = 1024) -> Dict:
         core = _dc_core(f, t, (bus.shape, branch.shape), has_status,
                         slack, nonslack)
         packed = np.asarray(core(
-            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
-            jnp.asarray(gen, jnp.float32), jnp.asarray(base, jnp.float32),
-            jnp.asarray(p_sched),
-        ))
+            put_dp(mesh, bus.astype(np.float32)),
+            put_dp(mesh, branch.astype(np.float32)),
+            put_dp(mesh, gen.astype(np.float32)),
+            put_dp(mesh, base.astype(np.float32)),
+            put_dp(mesh, p_sched),
+        ))[:k]
         theta = packed[:, :n]
         pf = packed[:, n:]
         # slack balances the (lossless) system: its injection is total
@@ -140,7 +155,7 @@ def solve_batched_dc(cases: List[Dict], chunk_size: int = 1024) -> Dict:
         inc = np.zeros((n, len(f)), np.float32)
         np.add.at(inc, (f, np.arange(len(f))), 1.0)
         np.add.at(inc, (t, np.arange(len(t))), -1.0)
-        p_slack = (pf @ inc[slack]) + bus[:, slack, 2] + bus[:, slack, 4]
+        p_slack = (pf @ inc[slack]) + bus[:k, slack, 2] + bus[:k, slack, 4]
         outs_th.append(np.rad2deg(theta))
         outs_pf.append(pf)
         outs_sl.append(p_slack)

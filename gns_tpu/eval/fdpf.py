@@ -310,6 +310,7 @@ def solve_batched_fdpf(
     chunk_size: int = 256,
     warm_start=None,
     alg: str = "XB",
+    mesh=None,
 ) -> Dict:
     """Fast-decoupled twin of `nr_batched.solve_batched`: same inputs,
     same result schema ({"v", "theta_deg", "converged", "iterations",
@@ -330,7 +331,18 @@ def solve_batched_fdpf(
     Non-converged grids keep their last iterate, flagged False — on
     grids whose r/x ratios defeat the decoupling, re-solve with full
     Newton (`solve_ac(..., method="auto")` does exactly that).
+
+    mesh: optional Mesh with a "dp" axis — shard each chunk's batch axis
+    across devices (parallel/solver_dp.py; identical fixed points, see
+    nr_batched.solve_batched's mesh note).
     """
+    from gns_tpu.parallel.solver_dp import (
+        pad_rows,
+        padded_rows,
+        put_dp,
+        put_repl,
+    )
+
     if alg not in ("XB", "BX"):
         raise ValueError(f"alg must be XB|BX, got {alg!r}")
     pending = []
@@ -347,20 +359,31 @@ def solve_batched_fdpf(
         f = branch[0, :, 0].astype(np.int32) - 1
         t = branch[0, :, 1].astype(np.int32) - 1
         has_status = branch.shape[2] > 10
+        k = bus.shape[0]
+        p_sched, q_sched = ns.p_sched, ns.q_sched
+        if mesh is not None:
+            target = padded_rows(k, mesh)
+            bus, branch, base = (pad_rows(a, target)
+                                 for a in (bus, branch, base))
+            p_sched, q_sched, vm0, va0 = (
+                pad_rows(a, target) for a in (p_sched, q_sched, vm0, va0)
+            )
         core = _fdpf_core(f, t, (bus.shape, branch.shape), has_status, alg)
         dev = core(
-            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
-            jnp.asarray(base, jnp.float32),
-            jnp.asarray(ns.p_sched), jnp.asarray(ns.q_sched),
-            jnp.asarray(vm0), jnp.asarray(va0),
-            jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+            put_dp(mesh, bus.astype(np.float32)),
+            put_dp(mesh, branch.astype(np.float32)),
+            put_dp(mesh, base.astype(np.float32)),
+            put_dp(mesh, p_sched), put_dp(mesh, q_sched),
+            put_dp(mesh, vm0), put_dp(mesh, va0),
+            put_repl(mesh, jnp.asarray(ns.pvpq)),
+            put_repl(mesh, jnp.asarray(ns.pq)), tol,
             jnp.asarray(max_iter, jnp.int32),
         )
-        pending.append((dev, bus.shape[1]))
+        pending.append((dev, k, bus.shape[1]))
 
     vms, vas, convs, its, itgs, fms = [], [], [], [], [], []
-    for dev, n in pending:
-        packed = np.array(dev)
+    for dev, k, n in pending:
+        packed = np.array(dev)[:k]
         vms.append(packed[:, :n])
         vas.append(packed[:, n:2 * n])
         convs.append(packed[:, 2 * n] > 0.5)

@@ -187,8 +187,15 @@ def _fused_fn(cfg: GNSConfig, method: str, topo: GridTopology,
 def _hybrid_solve_fused(
     params, cfg: GNSConfig, cases: List[Dict], tol: float, max_iter: int,
     chunk_size: int, method: str = "auto", return_pred: bool = False,
-    compact_after: int = 0, solver: str = "nr",
+    compact_after: int = 0, solver: str = "nr", mesh=None,
 ) -> Dict[str, np.ndarray]:
+    from gns_tpu.parallel.solver_dp import (
+        pad_rows,
+        padded_rows,
+        put_dp,
+        put_repl,
+    )
+
     s = len(cases)
     # dispatch all chunks asynchronously first, fetch afterwards (cf.
     # solve_batched: each fetch is a blocking relay round trip)
@@ -197,13 +204,14 @@ def _hybrid_solve_fused(
         chunk = cases[lo:lo + chunk_size]
         k = len(chunk)
         bus, branch, gen, base = stack_cases(chunk)
-        if k < chunk_size and s > chunk_size:
-            # pad the last chunk so every dispatch reuses ONE program
-            pad = chunk_size - k
-            bus = np.concatenate([bus, np.repeat(bus[-1:], pad, 0)])
-            branch = np.concatenate([branch, np.repeat(branch[-1:], pad, 0)])
-            gen = np.concatenate([gen, np.repeat(gen[-1:], pad, 0)])
-            base = np.concatenate([base, np.repeat(base[-1:], pad, 0)])
+        target = chunk_size if (k < chunk_size and s > chunk_size) else k
+        target = padded_rows(target, mesh)
+        if target > k:
+            # pad so every dispatch reuses ONE program (and, under a
+            # mesh, so the batch divides the dp axis)
+            bus, branch, gen, base = (
+                pad_rows(a, target) for a in (bus, branch, gen, base)
+            )
         ns = build_nr_small_stacked(bus, branch, gen, base)
         topo = GridTopology(
             src=branch[0, :, 0].astype(np.int32) - 1,
@@ -232,12 +240,15 @@ def _hybrid_solve_fused(
             else max_iter
         )
         out = fn(
-            params,
-            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
-            jnp.asarray(gen, jnp.float32), jnp.asarray(base, jnp.float32),
-            jnp.asarray(ns.p_sched), jnp.asarray(ns.q_sched),
-            jnp.asarray(ns.vm0), jnp.asarray(ns.va0),
-            jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+            put_repl(mesh, params),
+            put_dp(mesh, bus.astype(np.float32)),
+            put_dp(mesh, branch.astype(np.float32)),
+            put_dp(mesh, gen.astype(np.float32)),
+            put_dp(mesh, base.astype(np.float32)),
+            put_dp(mesh, ns.p_sched), put_dp(mesh, ns.q_sched),
+            put_dp(mesh, ns.vm0), put_dp(mesh, ns.va0),
+            put_repl(mesh, jnp.asarray(ns.pvpq)),
+            put_repl(mesh, jnp.asarray(ns.pq)), tol,
             jnp.asarray(k1, jnp.int32),
         )
         pending.append(
@@ -318,6 +329,7 @@ def hybrid_solve(
     fused: bool = True,
     compact_after=0,
     solver: str = "nr",
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Solve `cases` exactly, warm-started by the GNS prediction.
 
@@ -376,7 +388,7 @@ def hybrid_solve(
         out = _hybrid_solve_fused(
             params, cfg, cases, tol, max_iter, chunk_size,
             return_pred=return_prediction, compact_after=compact_after,
-            solver=solver,
+            solver=solver, mesh=mesh,
         )
     else:
         if predictor is None:
@@ -394,6 +406,7 @@ def hybrid_solve(
             max_iter=max_iter,
             chunk_size=chunk_size,
             warm_start=(pred["v"], pred["theta"]),
+            mesh=mesh,
         )
         if return_prediction:
             out["gns_v"] = pred["v"]
@@ -404,7 +417,7 @@ def hybrid_solve(
         bad = np.flatnonzero(~out["converged"])
         flat = solve_batched(
             [cases[i] for i in bad],
-            tol=tol, max_iter=max_iter, chunk_size=chunk_size,
+            tol=tol, max_iter=max_iter, chunk_size=chunk_size, mesh=mesh,
         )
         out["v"][bad] = flat["v"]
         out["theta_deg"][bad] = flat["theta_deg"]

@@ -534,6 +534,7 @@ def solve_mixed(
     chunk_size: int = 256,
     compact_after: int = 0,
     method: str = "nr",
+    mesh=None,
 ) -> Dict:
     """Solve a HETEROGENEOUS case list: group by topology, batch per group.
 
@@ -580,13 +581,14 @@ def solve_mixed(
             return solve_batched(
                 [cases[i] for i in idx], tol=tol, max_iter=max_iter,
                 chunk_size=chunk_size, compact_after=compact_after,
+                mesh=mesh,
             )
         from gns_tpu.eval.solve import solve_ac
 
         return solve_ac(
             [cases[i] for i in idx], warm_start="flat", method=method,
             tol=tol, max_iter=max_iter, chunk_size=chunk_size,
-            compact_after=compact_after,
+            compact_after=compact_after, mesh=mesh,
         )
 
     # topology groups are independent programs; on a high-RTT relay each
@@ -626,6 +628,7 @@ def solve_batched(
     chunk_size: int = 256,
     warm_start=None,
     compact_after=0,
+    mesh=None,
 ) -> Dict:
     """Solve every case; returns {"v", "theta_deg", "converged",
     "iterations", "iterations_per_grid", "mismatch", "stalled", ...}.
@@ -667,7 +670,24 @@ def solve_batched(
     iterate is the same one a 1e-5 gate would accept (the last step drops
     the mismatch from ~1e-3 straight to the floor) — v agreement with the
     float64 oracle stays ~1e-6 p.u. (tested).
+
+    mesh: optional jax.sharding.Mesh with a "dp" axis — shards each
+    chunk's batch axis across the mesh (parallel/solver_dp.py): the SAME
+    jitted core compiles to an SPMD program solving S/n_dp grids per
+    device, with the only collective being the while_loop's
+    "all converged" all-reduce. Identical fixed points to the unsharded
+    run (tests/test_solver_dp.py); chunks are padded to a dp multiple by
+    repeating the last grid and trimmed after the fetch. The compaction
+    sub-batch re-solve (compact_after) stays unsharded — it is by
+    construction a small straggler set.
     """
+    from gns_tpu.parallel.solver_dp import (
+        pad_rows,
+        padded_rows,
+        put_dp,
+        put_repl,
+    )
+
     compact_after = resolve_compact_after(compact_after)
     # Two-phase over chunks: dispatch everything asynchronously first,
     # fetch afterwards — chunk i+1's host packing and device solve overlap
@@ -686,22 +706,33 @@ def solve_batched(
         f = branch[0, :, 0].astype(np.int32) - 1
         t = branch[0, :, 1].astype(np.int32) - 1
         has_status = branch.shape[2] > 10
+        k = bus.shape[0]
+        p_sched, q_sched = ns.p_sched, ns.q_sched
+        if mesh is not None:
+            target = padded_rows(k, mesh)
+            bus, branch, base = (pad_rows(a, target)
+                                 for a in (bus, branch, base))
+            p_sched, q_sched, vm0, va0 = (
+                pad_rows(a, target) for a in (p_sched, q_sched, vm0, va0)
+            )
         core = _nr_core(f, t, (bus.shape, branch.shape), has_status)
         k1 = compact_after if 0 < compact_after < max_iter else max_iter
         dev = core(
-            jnp.asarray(bus, jnp.float32), jnp.asarray(branch, jnp.float32),
-            jnp.asarray(base, jnp.float32),
-            jnp.asarray(ns.p_sched), jnp.asarray(ns.q_sched),
-            jnp.asarray(vm0), jnp.asarray(va0),
-            jnp.asarray(ns.pvpq), jnp.asarray(ns.pq), tol,
+            put_dp(mesh, bus.astype(np.float32)),
+            put_dp(mesh, branch.astype(np.float32)),
+            put_dp(mesh, base.astype(np.float32)),
+            put_dp(mesh, p_sched), put_dp(mesh, q_sched),
+            put_dp(mesh, vm0), put_dp(mesh, va0),
+            put_repl(mesh, jnp.asarray(ns.pvpq)),
+            put_repl(mesh, jnp.asarray(ns.pq)), tol,
             jnp.asarray(k1, jnp.int32),
         )
-        pending.append((dev, bus, branch, base, ns, f, t, has_status, k1))
+        pending.append((dev, k, bus, branch, base, ns, f, t, has_status, k1))
 
     vms, vas, convs, its, itgs, fms = [], [], [], [], [], []
-    for dev, bus, branch, base, ns, f, t, has_status, k1 in pending:
+    for dev, k, bus, branch, base, ns, f, t, has_status, k1 in pending:
         n = bus.shape[1]
-        packed = np.array(dev)
+        packed = np.array(dev)[:k]
         it_chunk = int(packed[0, 2 * n + 1])
         bad = np.flatnonzero(packed[:, 2 * n] < 0.5)
         if k1 < max_iter and bad.size:

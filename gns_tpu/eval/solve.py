@@ -122,6 +122,7 @@ def solve_ac(
     chunk_size: int = 256,
     compact_after="auto",
     fallback_flat: bool = True,
+    mesh=None,
 ) -> Dict:
     """Solve `cases` (shared topology) exactly; pick the warm start for me.
 
@@ -170,6 +171,11 @@ def solve_ac(
     start and spliced in (reported via "fallback_grids"), so no warm
     start is ever less robust than plain NR.
 
+    mesh: optional jax.sharding.Mesh with a "dp" axis — every arm
+    (flat/prev/gns x nr/fdpf, and the fallback) shards its batch over
+    the mesh's data axis (parallel/solver_dp.py). Fixed points are
+    identical to the single-device run.
+
     Returns the solve_batched result schema ("v", "theta_deg",
     "converged", "iterations", "iterations_per_grid", "mismatch",
     "stalled", ...) plus "warm_start" (the resolved arm) and
@@ -215,13 +221,13 @@ def solve_ac(
         def _warm_solve(cs, ws=None):
             return solve_batched_fdpf(
                 cs, tol=tol, max_iter=fdpf_max_iter, chunk_size=chunk_size,
-                warm_start=ws,
+                warm_start=ws, mesh=mesh,
             )
     else:
         def _warm_solve(cs, ws=None):
             return solve_batched(
                 cs, tol=tol, max_iter=max_iter, chunk_size=chunk_size,
-                warm_start=ws, compact_after=compact_after,
+                warm_start=ws, compact_after=compact_after, mesh=mesh,
             )
 
     if warm_start == "gns":
@@ -233,7 +239,7 @@ def solve_ac(
             params, cfg, cases, tol=tol,
             max_iter=fdpf_max_iter if method == "fdpf" else max_iter,
             chunk_size=chunk_size, compact_after=compact_after,
-            fallback_flat=fallback_flat, solver=method,
+            fallback_flat=fallback_flat, solver=method, mesh=mesh,
         )
     else:
         ws = None
@@ -253,7 +259,7 @@ def solve_ac(
             bad = np.flatnonzero(~out["converged"])
             flat = solve_batched(
                 [cases[i] for i in bad], tol=tol, max_iter=max_iter,
-                chunk_size=chunk_size,
+                chunk_size=chunk_size, mesh=mesh,
             )
             out["v"][bad] = flat["v"]
             out["theta_deg"][bad] = flat["theta_deg"]

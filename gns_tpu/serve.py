@@ -52,12 +52,29 @@ class GNSPredictor:
         batch_size: int = 1024,
         method: str = "auto",
         align_slack: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a "dp" axis — the padded
+        request batch is sharded over the mesh's data axis and the SAME
+        jitted forward compiles to an SPMD program (params replicated;
+        grids never interact, so the program has no collectives). The
+        serving twin of solve_batched(mesh=...); identical predictions
+        to the single-device run (tests/test_solver_dp.py)."""
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
         self.method = method
         self.align_slack = align_slack
+        self.mesh = mesh
+        if mesh is not None:
+            from gns_tpu.parallel.solver_dp import dp_size, put_repl
+
+            if batch_size % dp_size(mesh):
+                raise ValueError(
+                    f"batch_size {batch_size} must divide the mesh's dp "
+                    f"axis ({dp_size(mesh)})"
+                )
+            self.params = put_repl(mesh, params)
         self._compiled: Dict[tuple, object] = {}
 
     def _fn_for(self, batch, topo, dense: bool):
@@ -101,6 +118,12 @@ class GNSPredictor:
             )
             topo = extract_shared_topology(batch)
             dense = batch.is_dense()
+            if self.mesh is not None:
+                from gns_tpu.parallel.solver_dp import put_dp
+
+                batch = type(batch)(
+                    *(put_dp(self.mesh, np.asarray(x)) for x in batch)
+                )
             outs.append(
                 (self._fn_for(batch, topo, dense)(self.params, batch),
                  len(chunk))
