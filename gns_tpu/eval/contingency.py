@@ -183,7 +183,14 @@ def screen_n1(
                        held by the solver, not solved values (the stock
                        case14 pins Vg=1.09 above its own 1.06 limit), so
                        only load buses can meaningfully violate,
-      "worst":         indices of non-converged + violating contingencies,
+      "flow_violations": (C,) int — branches whose exact AC apparent-
+                       power loading exceeds their published MVA rating
+                       (rateA; see `flow_violations` — unrated branches,
+                       incl. pypower's 9900 placeholders, never count),
+      "branch_loading_mva": (C, E) max(|S_f|, |S_t|) per branch,
+      "max_loading_frac": (C,) worst loading / rating over rated branches,
+      "worst":         indices of non-converged + voltage- or
+                       flow-violating contingencies,
     }
 
     Gen-outage variants whose bus lost its last in-service generator are
@@ -337,7 +344,11 @@ def screen_n1(
     viol = np.where(
         conv, (((v < lo) | (v > hi)) & is_pq).sum(axis=1), 0
     ).astype(np.int32)
-    worst = np.flatnonzero(~conv | (viol > 0))
+    # MVA-limit screening (round 5): exact AC branch loadings at the
+    # solved states vs each branch's published rateA — live on the cases
+    # whose tables carry real limits (case9/case30, utils/cases.py).
+    fl_viol, loading, max_frac = flow_violations(variants, v, theta)
+    worst = np.flatnonzero(~conv | (viol > 0) | (fl_viol > 0))
     return {
         "outages": [va["outage"] for va in variants],
         "converged": conv,
@@ -347,8 +358,91 @@ def screen_n1(
         "v_min": v_min,
         "v_max": v_max,
         "v_violations": viol,
+        "flow_violations": fl_viol,
+        "branch_loading_mva": loading,
+        "max_loading_frac": max_frac,
         "worst": worst,
     }
+
+
+def ac_branch_flows(variants: List[Dict], v: np.ndarray,
+                    theta_deg: np.ndarray):
+    """Exact complex AC branch flows (MVA) at solved states.
+
+    MATPOWER conventions (the complex twin of fdpf._branch_parts):
+    S_f = V_f (y_ff V_f + y_ft V_t)*, S_t = V_t (y_tf V_f + y_tt V_t)*,
+    both scaled to MVA. Shapes: v/theta_deg (C, N) over C variants (each
+    with its OWN branch table — an outaged branch has status 0 and flows
+    0); returns (sf, st) each (C, E) complex128. Power balance holds
+    exactly: Re(sf + st) summed over branches is the system's series
+    losses (tested against case30's published 17.557 MW). Rows with NaN
+    states (non-converged variants) propagate NaN. float64 numpy on
+    host: C*E complex ops, microseconds at screen scale.
+    """
+    br0 = np.asarray(variants[0]["branch"], np.float64)
+    e = br0.shape[0]
+    c = len(variants)
+    f = br0[:, 0].astype(np.int64) - 1
+    t = br0[:, 1].astype(np.int64) - 1
+    branch = np.stack(
+        [np.asarray(va["branch"], np.float64) for va in variants]
+    )
+    base = np.array([va["baseMVA"] for va in variants], np.float64)
+    status = branch[:, :, 10] if br0.shape[1] > 10 else np.ones((c, e))
+    ys = status / (branch[:, :, 2] + 1j * branch[:, :, 3])
+    bc = status * branch[:, :, 4]
+    tap = np.where(branch[:, :, 8] == 0, 1.0, branch[:, :, 8]) * np.exp(
+        1j * np.deg2rad(branch[:, :, 9])
+    )
+    ytt = ys + 1j * bc / 2.0
+    yff = ytt / (tap * np.conj(tap))
+    yft = -ys / np.conj(tap)
+    ytf = -ys / tap
+
+    vc = v.astype(np.float64) * np.exp(
+        1j * np.deg2rad(theta_deg.astype(np.float64))
+    )
+    vf, vt = vc[:, f], vc[:, t]
+    sf = vf * np.conj(yff * vf + yft * vt) * base[:, None]
+    st = vt * np.conj(ytf * vf + ytt * vt) * base[:, None]
+    return sf, st
+
+
+def ac_branch_loading(variants: List[Dict], v: np.ndarray,
+                      theta_deg: np.ndarray) -> np.ndarray:
+    """max(|S_f|, |S_t|) per branch (MVA) — the quantity MVA ratings
+    (branch col 5, rateA) limit. (C, E); see `ac_branch_flows`."""
+    sf, st = ac_branch_flows(variants, v, theta_deg)
+    return np.maximum(np.abs(sf), np.abs(st))
+
+
+def flow_violations(variants: List[Dict], v: np.ndarray,
+                    theta_deg: np.ndarray, rate_cap: float = 9000.0):
+    """Count per-variant branch MVA-limit violations at solved states.
+
+    Returns (counts (C,) int32, loading (C, E) MVA, max_loading_frac
+    (C,)). A branch is violated when its loading exceeds its rateA
+    (branch col 5). Branches with rateA <= 0 or >= `rate_cap` are
+    UNRATED: pypower ships 9900 as "effectively unlimited" on
+    case14/case118 (only case9/case30 publish real limits — see
+    utils/cases.py), and counting against a fictitious 9900 MVA limit
+    would report zero forever while poisoning max_loading_frac.
+    NaN rows (non-converged variants) count 0 and report NaN loading.
+    """
+    loading = ac_branch_loading(variants, v, theta_deg)
+    rate = np.stack([
+        np.asarray(va["branch"], np.float64)[:, 5] for va in variants
+    ])
+    rated = (rate > 0) & (rate < rate_cap)
+    with np.errstate(invalid="ignore"):
+        over = rated & (loading > rate)
+        frac = np.where(rated, loading / np.where(rated, rate, 1.0), 0.0)
+    nan_rows = np.isnan(loading).any(axis=1)
+    counts = np.where(nan_rows, 0, over.sum(axis=1)).astype(np.int32)
+    max_frac = np.where(
+        nan_rows, np.nan, frac.max(axis=1)
+    ).astype(np.float32)
+    return counts, loading.astype(np.float32), max_frac
 
 
 def find_bridges(case: Dict) -> np.ndarray:
@@ -543,9 +637,13 @@ def screen_n1_ranked(
             pq_i = is_pq[i]
             viol[i] = int((((v[i] < lo) | (v[i] > hi)) & pq_i).sum())
             v_min[i] = v[i].min()
+    # MVA screening on the verified subset (NaN rows — unverified or
+    # non-converged — count zero; cf. screen_n1)
+    fl_viol, loading, max_frac = flow_violations(variants, v, theta)
     worst = np.flatnonzero(
         islanded
-        | (np.isin(np.arange(c), verified_idx) & (~conv | (viol > 0)))
+        | (np.isin(np.arange(c), verified_idx)
+           & (~conv | (viol > 0) | (fl_viol > 0)))
     )
     return {
         "outages": [va["outage"] for va in variants],
@@ -557,6 +655,9 @@ def screen_n1_ranked(
         "v": v,
         "theta_deg": theta,
         "v_violations": viol,
+        "flow_violations": fl_viol,
+        "branch_loading_mva": loading,
+        "max_loading_frac": max_frac,
         "v_min": v_min,
         "pred_v": pv,
         "pred_theta_deg": np.rad2deg(pth).astype(np.float32),

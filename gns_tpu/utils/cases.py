@@ -125,7 +125,11 @@ def _case9() -> Dict:
         ],
         dtype=np.float64,
     )
-    branch[:, 5:8] = 250.0  # rates
+    # published MVA ratings (pypower case9 rateA, same branch order);
+    # consumed by the flow-violation screens (eval/contingency.py)
+    branch[:, 5:8] = np.array(
+        [250, 250, 150, 300, 150, 250, 250, 250, 250], dtype=np.float64
+    )[:, None]
     branch[:, 10] = 1.0  # status
     branch[:, 11] = -360.0
     branch[:, 12] = 360.0
@@ -230,6 +234,14 @@ _CASE30_BRANCH = [
     (8, 28, 0.0636, 0.2000, 0.0428, 0),
     (6, 28, 0.0169, 0.0599, 0.0130, 0),
 ]
+# Published rateA (MVA) per branch, same order (MATPOWER case_ieee30).
+_CASE30_RATE_A = [
+    130, 130, 65, 130, 130, 65, 90, 70, 130, 32,
+    65, 32, 65, 65, 65, 65, 32, 32, 32, 16,
+    16, 16, 16, 32, 32, 32, 32, 32, 32, 16,
+    16, 16, 16, 16, 16, 65, 16, 16, 16, 32,
+    32,
+]
 
 
 def _case30() -> Dict:
@@ -252,7 +264,13 @@ def _case30() -> Dict:
     for i, (f, t, r, x, b, tap) in enumerate(_CASE30_BRANCH):
         branch[i, :5] = [f, t, r, x, b]
         branch[i, 8] = tap
-    branch[:, 5:8] = 250.0
+    # Published MVA ratings (MATPOWER case_ieee30 rateA, whose branch
+    # impedances this table matches row for row) — the canonical IEEE
+    # 30-bus limits, the data flow-violation screening ranks against
+    # (eval/contingency.py flow_violations; round-4 VERDICT task 4).
+    # case14/case118 publish no meaningful limits (pypower ships 9900 =
+    # effectively unlimited) and keep that convention.
+    branch[:, 5:8] = np.array(_CASE30_RATE_A, dtype=np.float64)[:, None]
     branch[:, 10] = 1.0
     branch[:, 11] = -360.0
     branch[:, 12] = 360.0

@@ -228,3 +228,59 @@ def test_screen_method_fdpf_same_verdicts():
         np.asarray(nr["v_violations"])[both]
         == np.asarray(fd["v_violations"])[both]
     ).all()
+
+
+# --- flow-limit screening (round 5: published MVA ratings shipped) ---
+
+
+def test_ac_branch_flows_reproduce_published_losses():
+    """Power balance: Re(S_f + S_t) summed over branches is the system's
+    series loss — 17.557 MW at case30's published solution, the same
+    checksum tools/verify_case30.py anchors the table with."""
+    from gns_tpu.eval.contingency import ac_branch_flows
+    from gns_tpu.eval.newton_raphson import newton_raphson_pf
+
+    case = load_case(30)
+    r = newton_raphson_pf(case)
+    assert r.success
+    sf, st = ac_branch_flows([case], r.vm[None, :], r.va_deg[None, :])
+    losses = float(np.real(sf + st).sum())
+    assert abs(losses - 17.557) < 0.01
+
+
+def test_screen_flow_violations_case30():
+    """case30 carries real published ratings (its operating point is
+    famously overloaded on branch 1-2 at ~1.35x), so the screen's flow
+    columns are live: every converged variant inherits >= 1 violation,
+    islanded variants count 0, and the outaged branch itself never
+    violates (status 0 -> zero flow)."""
+    from gns_tpu.eval.contingency import find_bridges
+
+    case = load_case(30)
+    rep = screen_n1(case)
+    conv = rep["converged"]
+    assert (rep["flow_violations"][conv] >= 1).all()
+    assert (rep["flow_violations"][~conv] == 0).all()
+    bridges = set(find_bridges(case).tolist())
+    assert set(np.flatnonzero(~conv).tolist()) == bridges
+    loading = np.asarray(rep["branch_loading_mva"])
+    for i in np.flatnonzero(conv):
+        assert loading[i, i] < 1e-6  # the outaged branch loads 0
+    # flow-violating outages are in "worst" now
+    assert set(np.flatnonzero(rep["flow_violations"] > 0).tolist()) <= set(
+        rep["worst"].tolist()
+    )
+
+
+def test_screen_flow_violations_unrated_case14():
+    """case14 publishes no meaningful limits (pypower ships 9900 =
+    effectively unlimited); the screen must report ZERO flow violations
+    rather than comparing against the placeholder."""
+    case = load_case(14)
+    rep = screen_n1(case)
+    assert (rep["flow_violations"] == 0).all()
+    # loadings themselves are still reported (finite for converged)
+    conv = rep["converged"]
+    assert np.isfinite(
+        np.asarray(rep["branch_loading_mva"])[conv]
+    ).all()
