@@ -134,7 +134,8 @@ def _metrics_row(nr, v, th, case, patience, seed, side, train_sec, epochs_ran):
 def run_torch(case, patience, seed, train_cases, cases, nr):
     import torch
 
-    torch.set_num_threads(1)  # background-friendly; wall time NOT comparable
+    # background-friendly default; wall time NOT comparable either way
+    torch.set_num_threads(int(os.environ.get("MS_TORCH_THREADS", "1")))
     from tools.accuracy_parity import eval_reference, train_reference
 
     resume = f"/tmp/acc_ms_c{case}_p{patience}_s{seed}.pt"
