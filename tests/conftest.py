@@ -16,6 +16,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# The persistent compilation cache (/root/.jax_cache) is shared with the
+# remote-TPU relay environment whose CPU compile host advertises AVX512/
+# AMX features this host lacks; loading such an AOT entry can SIGILL /
+# segfault inside get_executable_and_time (observed: full-suite runs
+# dying at ~68% in compilation_cache deserialization). CPU test programs
+# are tiny — compile fresh, never touch the shared cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -6,6 +6,20 @@ import copy
 import numpy as np
 import pytest
 
+import jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_after_module():
+    """This module compiles many 8-device SPMD solver programs; drop the
+    executables when done so later modules (the pipeline-parallel tests
+    compile large programs) don't abort on accumulated compiler/runtime
+    resources (observed: full-suite SIGABRT inside backend_compile at
+    test_tp_pp only when these modules ran first)."""
+    yield
+    jax.clear_caches()
+
+
 from gns_tpu.eval.n2 import (
     n2_islanding_pairs,
     n2_pairs,

@@ -11,6 +11,20 @@ non-divisible-batch padding path.
 import numpy as np
 import pytest
 
+import jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_after_module():
+    """This module compiles many 8-device SPMD solver programs; drop the
+    executables when done so later modules (the pipeline-parallel tests
+    compile large programs) don't abort on accumulated compiler/runtime
+    resources (observed: full-suite SIGABRT inside backend_compile at
+    test_tp_pp only when these modules ran first)."""
+    yield
+    jax.clear_caches()
+
+
 from gns_tpu.eval.contingency import screen_n1
 from gns_tpu.eval.dcpf import solve_batched_dc
 from gns_tpu.eval.fdpf import solve_batched_fdpf
