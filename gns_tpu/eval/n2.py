@@ -113,6 +113,51 @@ def n2_islanding_pairs(case: Dict,
     return out
 
 
+def n2_branch_loading(case: Dict, pairs: np.ndarray, v: np.ndarray,
+                      theta_deg: np.ndarray,
+                      chunk: int = 4096) -> np.ndarray:
+    """(P, E) max(|S_f|, |S_t|) MVA loadings at N-2 solved states.
+
+    The N-2 twin of `contingency.ac_branch_loading`, without
+    materializing per-variant branch tables: the base case's complex
+    branch admittances are computed once and the two outaged rows are
+    zeroed per pair (an outage only changes the status factor). NaN
+    states (non-converged pairs) propagate NaN.
+    """
+    br = np.asarray(case["branch"], np.float64)
+    e = br.shape[0]
+    f = br[:, 0].astype(np.int64) - 1
+    t = br[:, 1].astype(np.int64) - 1
+    status = br[:, 10] if br.shape[1] > 10 else np.ones(e)
+    ys = status / (br[:, 2] + 1j * br[:, 3])
+    bc = status * br[:, 4]
+    tap = np.where(br[:, 8] == 0, 1.0, br[:, 8]) * np.exp(
+        1j * np.deg2rad(br[:, 9])
+    )
+    ytt = ys + 1j * bc / 2.0
+    yff = ytt / (tap * np.conj(tap))
+    yft = -ys / np.conj(tap)
+    ytf = -ys / tap
+    base = float(case["baseMVA"])
+
+    p = pairs.shape[0]
+    out = np.empty((p, e), np.float64)
+    for lo in range(0, p, chunk):
+        pr = pairs[lo:lo + chunk]
+        k = pr.shape[0]
+        rows = np.arange(k)[:, None]
+        live = np.ones((k, e), np.float64)
+        live[rows, pr] = 0.0  # the per-pair status zeros
+        vc = v[lo:lo + chunk].astype(np.float64) * np.exp(
+            1j * np.deg2rad(theta_deg[lo:lo + chunk].astype(np.float64))
+        )
+        vf, vt = vc[:, f], vc[:, t]
+        sf = vf * np.conj(live * (yff[None] * vf + yft[None] * vt))
+        st = vt * np.conj(live * (ytf[None] * vf + ytt[None] * vt))
+        out[lo:lo + chunk] = np.maximum(np.abs(sf), np.abs(st)) * base
+    return out
+
+
 def _n2_core(f: np.ndarray, t: np.ndarray, shapes: tuple,
              has_status: bool, method: str, n_pairs_axis: int):
     """Jitted N-2 core: (base bus/branch/..., pairs (S, 2)) -> packed
@@ -306,6 +351,25 @@ def screen_n2(
         viol = np.where(
             conv, (((v < lo_v) | (v > hi_v)) & is_pq[None, :]).sum(axis=1), 0
         ).astype(np.int32)
+    # MVA-limit screening, exactly like screen_n1 (round 5): exact AC
+    # loadings at the solved states vs each branch's published rateA —
+    # live on the cases whose tables carry real limits (case9/case30);
+    # unrated branches (incl. 9900 placeholders) never count
+    rate = np.asarray(case["branch"], np.float64)[:, 5]
+    rated = (rate > 0) & (rate < 9000.0)
+    if rated.any():
+        loading = n2_branch_loading(case, pairs, v, theta)
+        with np.errstate(invalid="ignore"):
+            over = rated[None, :] & (loading > rate[None, :])
+            frac = np.where(rated[None, :], loading / np.where(
+                rated, rate, 1.0)[None, :], 0.0)
+        nan_rows = np.isnan(loading).any(axis=1)
+        fl_viol = np.where(nan_rows, 0, over.sum(axis=1)).astype(np.int32)
+        max_frac = np.where(nan_rows, np.nan,
+                            frac.max(axis=1)).astype(np.float32)
+    else:
+        fl_viol = np.zeros(pairs.shape[0], np.int32)
+        max_frac = np.where(conv, 0.0, np.nan).astype(np.float32)
     # structural islanding is reported alongside solver convergence:
     # the two differ exactly on balanced islands (see n2_islanding_pairs)
     islanded = n2_islanding_pairs(case, pairs)
@@ -316,9 +380,13 @@ def screen_n2(
         "v": v,
         "theta_deg": theta,
         "v_violations": viol,
+        "flow_violations": fl_viol,
+        "max_loading_frac": max_frac,
         "iterations_per_grid": np.concatenate(itgs),
         "mismatch": np.concatenate(fms).astype(np.float32),
-        "worst": np.flatnonzero(islanded | ~conv | (viol > 0)),
+        "worst": np.flatnonzero(
+            islanded | ~conv | (viol > 0) | (fl_viol > 0)
+        ),
         "method": method,
     }
 
@@ -485,6 +553,7 @@ def screen_n2_ranked(
     v = np.full((p, n), np.nan, np.float32)
     theta = np.full((p, n), np.nan, np.float32)
     viol = np.zeros(p, np.int32)
+    fl_viol = np.zeros(p, np.int32)
     if top_k:
         sub = screen_n2(
             case, pairs[verified_idx], tol=tol, max_iter=max_iter,
@@ -496,9 +565,11 @@ def screen_n2_ranked(
         v[verified_idx] = sub["v"]
         theta[verified_idx] = sub["theta_deg"]
         viol[verified_idx] = sub["v_violations"]
+        fl_viol[verified_idx] = sub["flow_violations"]
     worst = np.flatnonzero(
         islanded
-        | (np.isin(np.arange(p), verified_idx) & (~conv | (viol > 0)))
+        | (np.isin(np.arange(p), verified_idx)
+           & (~conv | (viol > 0) | (fl_viol > 0)))
     )
     return {
         "pairs": pairs,
@@ -510,6 +581,7 @@ def screen_n2_ranked(
         "v": v,
         "theta_deg": theta,
         "v_violations": viol,
+        "flow_violations": fl_viol,
         "pred_v": pv,
         "pred_theta": pth,
         "worst": worst,

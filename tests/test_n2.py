@@ -148,3 +148,35 @@ def test_screen_n2_sharded_equals_single_device(case14, pairs14):
     np.testing.assert_allclose(
         ref["v"][both], out["v"][both], rtol=0, atol=2e-6
     )
+
+
+def test_n2_flow_screening_case30():
+    """N-2 flow columns: the pairwise loading computation must equal the
+    explicit-variant ac_branch_loading, and the screen must report flow
+    violations on case30 (real published ratings; the base operating
+    point is already overloaded so every converged pair inherits >=1)."""
+    from gns_tpu.eval.contingency import ac_branch_loading
+    from gns_tpu.eval.n2 import n2_branch_loading
+
+    case = load_case(30)
+    pairs = n2_pairs(case)
+    rep = screen_n2(case, pairs)
+    conv = rep["converged"]
+    assert (rep["flow_violations"][conv] >= 1).all()
+    assert (rep["flow_violations"][~conv] == 0).all()
+    assert set(np.flatnonzero(rep["flow_violations"] > 0).tolist()) <= set(
+        rep["worst"].tolist()
+    )
+    # cross-check the no-materialization loading against explicit variants
+    sel = np.flatnonzero(conv)[:12]
+    fast = n2_branch_loading(case, pairs[sel], rep["v"][sel],
+                             rep["theta_deg"][sel])
+    variants = []
+    for a, b in pairs[sel]:
+        va = copy.deepcopy(case)
+        va["branch"] = np.asarray(va["branch"], np.float64).copy()
+        va["branch"][a, 10] = 0.0
+        va["branch"][b, 10] = 0.0
+        variants.append(va)
+    slow = ac_branch_loading(variants, rep["v"][sel], rep["theta_deg"][sel])
+    np.testing.assert_allclose(fast, slow, rtol=1e-12, atol=1e-9)
